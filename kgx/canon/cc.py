@@ -1,0 +1,84 @@
+"""Stage 3 — connected components over the mention↔compound bipartite graph
+(SURVEY §2 D9; BASELINE.json:L6 stage (3) "canonicalization via
+connected-components ... iterative DataFrame self-joins with salted keys").
+
+Label propagation to the minimum node id, as iterative DataFrame joins:
+
+* node ids are longs — compounds keep ``compound_id``, mentions are offset
+  by 2^40 (schemas.MENTION_NODE_OFFSET), so a component's label is always
+  its smallest *compound* id;
+* each round: every node takes min(own label, neighbors' labels); the
+  edges⋈labels join goes through :func:`kgx.shuffle.salt.hot_cold_join`
+  (hot compounds like water/ethanol have millions of mention edges but one
+  label row — the broadcast-hot/shuffle-cold split defeats that skew, with
+  AQE skew-join enabled as the backstop);
+* ``localCheckpoint`` after every round truncates the exploding lineage —
+  without it the logical plan doubles per iteration (SURVEY §4);
+* convergence = zero labels changed (an agg, not exceptAll — SURVEY §2 H2).
+
+Bipartite mention↔compound graphs have tiny diameter (a mention links one
+compound; compounds connect via shared-structure lexicon edges), so rounds
+≈ 2–4.  ``max_iter`` guards pathological inputs.
+
+Scale note: at 10^12 mentions the 64-bit hashed mention node ids admit
+birthday collisions; a collision can only over-merge if the two colliding
+mentions link different compounds.  The production remedy (tracked for a
+later round) is 128-bit node ids via struct labels; correctness at every
+sandbox scale is property-tested against networkx.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgx.shuffle.salt import hot_cold_join
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    hot_threshold: int = 50_000,
+) -> DataFrame:
+    """edges(src long, dst long, undirected) -> (node_id, component_id).
+
+    Every node present in ``edges`` gets a row; component_id = min node id
+    reachable (for the bipartite KG graph: the min compound id).
+    """
+    adj = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionByName(
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    )
+
+    labels = (
+        adj.groupBy("node")
+        .agg(F.min("nbr").alias("__mn"))
+        .select("node", F.least("node", "__mn").alias("label"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        nbr_labels = hot_cold_join(
+            adj,
+            labels.select(F.col("node").alias("nbr"), F.col("label").alias("nbr_label")),
+            "nbr",
+            hot_threshold=hot_threshold,
+        ).select("node", F.col("nbr_label").alias("label"))
+
+        new_labels = (
+            nbr_labels.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node").alias("node_id"), F.col("label").alias("component_id"))

@@ -1,0 +1,100 @@
+"""The "paper oracle" (FIXTURES.md §A4): a tiny single-process pandas/python
+implementation of the pipeline SEMANTICS, used only to derive golden triples
+from golden mentions + the dictionary.  It shares no code with the Spark
+pipeline under test (kgx.stages / kgx.canon) beyond the URI conventions.
+
+Conventions (FIXTURES.md §A4):
+  subj/obj URIs: ``doc:<repo>/<path>@<commit>``, ``cpd:<compound_id>``,
+  ``repo:<repo>``; smiles/inchi as plain literals.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def doc_uri(repo: str, path: str, commit: str) -> str:
+    return f"doc:{repo}/{path}@{commit}"
+
+
+def cpd_uri(compound_id: int) -> str:
+    return f"cpd:{compound_id}"
+
+
+def repo_uri(repo: str) -> str:
+    return f"repo:{repo}"
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        root = x
+        while self.parent.setdefault(root, root) != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def derive_golden_triples(
+    golden_mentions: pd.DataFrame, compound_dict: pd.DataFrame
+) -> pd.DataFrame:
+    """golden mentions (with non-null compound_id = the intended link) +
+    dictionary -> expected (subj, pred, obj) rows, sorted & distinct."""
+    links = golden_mentions[golden_mentions["compound_id"].notna()].copy()
+    links["compound_id"] = links["compound_id"].astype("int64")
+
+    # components over compounds: dictionary entries sharing an inchikey are
+    # the same structure (duplicate lexicon entries -> synonymOf edges)
+    uf = _UnionFind()
+    for cid in compound_dict["compound_id"]:
+        uf.find(int(cid))
+    for _, grp in compound_dict.groupby("inchikey"):
+        ids = sorted(int(c) for c in grp["compound_id"])
+        for other in ids[1:]:
+            uf.union(ids[0], other)
+
+    comp_of = {int(c): uf.find(int(c)) for c in compound_dict["compound_id"]}
+
+    # representative per component: min (priority, compound_id)
+    cd = compound_dict.set_index("compound_id", drop=False)
+    rep_of_comp: dict[int, int] = {}
+    for cid in sorted(comp_of):
+        comp = comp_of[cid]
+        key = (int(cd.at[cid, "priority"]), cid)
+        cur = rep_of_comp.get(comp)
+        if cur is None or key < (int(cd.at[cur, "priority"]), cur):
+            rep_of_comp[comp] = cid
+
+    mentioned_comps = {comp_of[int(c)] for c in links["compound_id"]}
+
+    rows: list[tuple[str, str, str]] = []
+    for r in links.itertuples(index=False):
+        rep = rep_of_comp[comp_of[int(r.compound_id)]]
+        d = doc_uri(r.repo, r.path, r.commit)
+        rows.append((d, "mentions", cpd_uri(rep)))
+        rows.append((cpd_uri(rep), "foundInRepo", repo_uri(r.repo)))
+
+    for comp in sorted(mentioned_comps):
+        rep = rep_of_comp[comp]
+        smiles = cd.at[rep, "smiles"]
+        inchi = cd.at[rep, "inchi"]
+        if isinstance(smiles, str) and smiles:
+            rows.append((cpd_uri(rep), "hasSMILES", smiles))
+        if isinstance(inchi, str) and inchi:
+            rows.append((cpd_uri(rep), "hasInChI", inchi))
+        members = sorted(c for c, cm in comp_of.items() if cm == comp)
+        for c in members:
+            if c != rep:
+                rows.append((cpd_uri(c), "synonymOf", cpd_uri(rep)))
+
+    out = pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    out = out.drop_duplicates().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    return out

@@ -1,0 +1,62 @@
+"""Corpus ingest (SURVEY §2 A1, D7; BASELINE.json:L15).
+
+Reads the Iceberg-shaped ``source_files`` table — in this sandbox an
+Iceberg-shaped Parquet layout (no Iceberg jar available; see
+kgx/io/tableformat.py) — projects the 5 contract columns, and attaches the
+two identity columns everything downstream keys on:
+
+* ``content_sha = sha2(content, 256)``  — the per-row invariant column
+  [BASELINE.json:L15 "content sha256 equality"],
+* ``file_key    = sha2(repo || path, 256)`` — the partitioning key
+  [BASELINE.json:L6 "explicit repartitioning on sha256(repo,path)"].
+
+All expressions are JVM built-ins (whole-stage codegen; no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgx.io.tableformat import read_table
+
+BASE_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def scan_source_files(spark: SparkSession, uri: str, fmt: str = "parquet") -> DataFrame:
+    """Scan + project + attach identity columns.
+
+    Keeping the projection minimal here lets Catalyst push column pruning
+    into the parquet reader for every downstream plan.
+    """
+    df = read_table(spark, uri, fmt=fmt).select(*BASE_COLS)
+    return with_file_identity(df)
+
+
+def with_file_identity(df: DataFrame) -> DataFrame:
+    return df.withColumn("content_sha", F.sha2(F.col("content"), 256)).withColumn(
+        "file_key", F.sha2(F.concat_ws("\x1f", "repo", "path"), 256)
+    )
+
+
+def latest_versions(df: DataFrame) -> DataFrame:
+    """Keep the newest ``commit`` per (repo, path) — SURVEY §2 D7.
+
+    The 5-column contract carries no timestamp, so "newest" is defined as
+    the lexicographically greatest commit id; deterministic and agreed with
+    the fixture generator.  Window row_number is the Spark idiom for an
+    as-of/latest join (no native as-of in Spark).
+    """
+    w = Window.partitionBy("repo", "path").orderBy(F.col("commit").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def repartition_corpus(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Explicit hash repartition on file_key (= sha256(repo,path)) so one
+    file's rows land in one task and the detect UDF sees balanced batches
+    [BASELINE.json:L6]."""
+    return df.repartition(num_partitions, "file_key")

@@ -1,0 +1,71 @@
+"""Exact-score rerank of LSH candidates inside pandas UDF batches
+(SURVEY §2 C3; BASELINE.json:L6 "exact-score rerank inside pandas UDF
+batches").
+
+Input: (mention, candidate-term) pairs from the minhash-band join.  Groups
+are formed by a *pseudo-bucket* — ``pmod(xxhash64(mention_id), n_buckets)``
+— not by mention_id (billions of tiny groups) and not by band bucket (a pair
+can appear in several bands; dedup happens before grouping).  Every pair of
+one mention lands in one group, so per-mention decisions are local to the
+group, and bucket count bounds group size for Arrow memory (SURVEY §7
+hard-part 5).
+
+Score = 0.4 · exact mixed-shingle Jaccard + 0.6 · (1 − levenshtein/maxlen),
+gated by lev ≤ 2 (edit-distance envelope of the lexicon's deliberate
+misspellings) and a floor; the lev term dominates because one edit on a
+short name legitimately halves its shingle Jaccard.  Surviving pairs keep
+score scaled into the fuzzy method's band (< every deterministic method's
+score).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgx.link.minhash import fuzzy_jaccard
+from kgx.text.normalize import levenshtein
+
+RERANK_SCHEMA = (
+    "mention_id long, file_key string, repo string, path string, commit string, "
+    "compound_id long, score double, method string"
+)
+
+FUZZY_SCALE = 0.80  # fuzzy scores live in (0, 0.80)
+MAX_LEV = 2
+MIN_SCORE = 0.55
+
+
+def _rerank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    if pdf.empty:
+        return pdf.iloc[0:0][
+            ["mention_id", "file_key", "repo", "path", "commit", "compound_id", "score", "method"]
+        ]
+    jac = [fuzzy_jaccard(a, b) for a, b in zip(pdf["norm_text"], pdf["term_norm"])]
+    lev = [levenshtein(a, b) for a, b in zip(pdf["norm_text"], pdf["term_norm"])]
+    maxlen = [max(len(a), len(b), 1) for a, b in zip(pdf["norm_text"], pdf["term_norm"])]
+    out = pdf.assign(
+        __jac=jac,
+        __lev=lev,
+        score=[
+            FUZZY_SCALE * (0.4 * j + 0.6 * (1.0 - l / m))
+            for j, l, m in zip(jac, lev, maxlen)
+        ],
+        method="fuzzy",
+    )
+    out = out[(out["__lev"] <= MAX_LEV) & (out["score"] >= FUZZY_SCALE * MIN_SCORE)]
+    return out[
+        ["mention_id", "file_key", "repo", "path", "commit", "compound_id", "score", "method"]
+    ]
+
+
+def rerank(candidates: DataFrame, n_buckets: int = 1024) -> DataFrame:
+    """candidates: mention_id, file_key, repo, path, commit, norm_text,
+    compound_id, term_norm  ->  scored fuzzy link rows."""
+    bucketed = candidates.withColumn(
+        "__bucket", F.pmod(F.xxhash64("mention_id"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("__bucket").applyInPandas(
+        lambda pdf: _rerank_group(pdf), RERANK_SCHEMA
+    )

@@ -1,0 +1,109 @@
+"""End-to-end pipeline composition (SURVEY §2 K1–K5).
+
+``run_pipeline`` wires the four stages [BASELINE.json:L6]:
+
+    scan (+ sha/file_key, latest-version dedup, explicit repartition on
+    sha256(repo,path))  ->  detect  ->  link  ->  connected components  ->
+    triples
+
+Checkpoint/lineage/resume wrap each stage boundary via kgx.io.checkpoint
+when a ``run_dir`` is given; without one the stages compose lazily except
+for the two places an explicit materialization is load-bearing:
+
+* ``links`` is localCheckpointed — the CC loop and stage 4 both consume it,
+  and the CC convergence counts would otherwise re-execute detection+linking
+  every round;
+* CC itself localCheckpoints per round (see kgx.canon.cc).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgx.canon.cc import connected_components
+from kgx.canon.elect import compound_rep_map
+from kgx.io.dictionary import detection_index, load_dict
+from kgx.io.source import latest_versions, repartition_corpus, scan_source_files
+from kgx.schemas import mention_node
+from kgx.stages.detect import detect_mentions
+from kgx.stages.link import link_entities
+from kgx.stages.materialize import materialize_triples, write_triples
+
+
+@dataclass
+class PipelineConfig:
+    source_uri: str
+    dict_uri: str
+    out_uri: str | None = None
+    run_dir: str | None = None  # checkpoint/lineage root; None = no resume
+    run_id: str = "r0"
+    num_partitions: int = 32
+    enable_fuzzy: bool = True
+    table_format: str = "parquet"  # "iceberg" in production
+    cc_hot_threshold: int = 50_000
+
+
+def build_edges(links: DataFrame, dict_df: DataFrame) -> DataFrame:
+    """Bipartite edge list for canonicalization: mention->compound link
+    edges ∪ compound->compound shared-structure (same InChIKey) edges."""
+    from pyspark.sql import Window
+
+    mention_edges = links.select(
+        mention_node("mention_id").alias("src"), F.col("compound_id").cast("long").alias("dst")
+    )
+    w = Window.partitionBy("inchikey")
+    dup_edges = (
+        dict_df.withColumn("__root", F.min("compound_id").over(w))
+        .filter(F.col("compound_id") != F.col("__root"))
+        .select(F.col("compound_id").cast("long").alias("src"), F.col("__root").cast("long").alias("dst"))
+    )
+    return mention_edges.unionByName(dup_edges)
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
+    """Returns the stage outputs {mentions, links, components, rep_map,
+    triples}; writes triples when cfg.out_uri is set."""
+    from kgx.io.checkpoint import stage_checkpoint
+
+    dict_df = load_dict(spark, cfg.dict_uri, fmt=cfg.table_format)
+    index_bc = spark.sparkContext.broadcast(detection_index(dict_df.toPandas()))
+
+    files = repartition_corpus(
+        latest_versions(scan_source_files(spark, cfg.source_uri, fmt=cfg.table_format)),
+        cfg.num_partitions,
+    )
+
+    mentions = detect_mentions(files, index_bc)
+    mentions = stage_checkpoint(spark, mentions, "mentions", cfg)
+
+    links = link_entities(mentions, dict_df, enable_fuzzy=cfg.enable_fuzzy)
+    links = stage_checkpoint(spark, links, "links", cfg)
+    if cfg.run_dir is None:
+        links = links.localCheckpoint()  # consumed by CC loop AND stage 4
+
+    edges = build_edges(links, dict_df)
+    components = connected_components(edges, hot_threshold=cfg.cc_hot_threshold)
+    components = stage_checkpoint(
+        spark,
+        components.select(F.col("node_id"), F.col("component_id")),
+        "components",
+        cfg,
+    )
+
+    rep_map = compound_rep_map(components, dict_df)
+    triples = materialize_triples(links, rep_map, dict_df)
+    triples = stage_checkpoint(spark, triples, "triples", cfg)
+
+    if cfg.out_uri is not None:
+        write_triples(triples, cfg.out_uri, fmt=cfg.table_format)
+
+    return {
+        "mentions": mentions,
+        "links": links,
+        "components": components,
+        "rep_map": rep_map,
+        "triples": triples,
+    }

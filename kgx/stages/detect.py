@@ -1,0 +1,228 @@
+"""Stage 1 — vectorized mention detection (SURVEY §2 C1, K1).
+
+The ChemSpot analogue [PK: molminer/ChemSpot.py; BASELINE.json:L6 stage (1)
+"vectorized mention detection emitting candidate chemical-entity spans per
+file"], re-expressed as an Arrow-batched ``mapInPandas`` kernel:
+
+* greedy leftmost-longest dictionary n-gram matching over chem-tokens
+  (the dictionary membership index arrives as a SparkContext broadcast —
+  one deserialization per executor, not per row),
+* regex candidate channels for surfaces NOT in the lexicon: molecular
+  formulas, systematic-looking tokens (morpheme + suffix gate — these feed
+  the minhash/fuzzy linker), and doc-local abbreviations,
+* abbreviation definition capture: ``long form (ABBR)`` binds ABBR to the
+  long form's normalized text for this document only; every occurrence of a
+  bound ABBR is emitted with ``defined_as`` set (MolMiner's doc-local
+  abbreviation linking [BASELINE.json:L6]).
+
+Offsets always index the raw ``content`` — normalization happens per-token
+and never rewrites the document (SURVEY §7 hard-part 4).
+
+Scale notes: per-row work is O(tokens); the only shuffle implied by this
+stage is the explicit corpus repartition on file_key done upstream.  Content
+is dropped from the output schema immediately (column pruning by
+construction — SURVEY §2 B1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgx.text import chemlex as cl
+from kgx.text.normalize import MAX_TERM_TOKENS, norm_term, tokenize_with_spans
+
+# output schema of the kernel (mention_id attached afterwards, JVM-side)
+DETECT_SCHEMA = (
+    "file_key string, repo string, path string, commit string, lang string, "
+    "start int, end int, text string, norm_text string, mtype string, "
+    "defined_as string"
+)
+
+_WS = (" ", "\t")
+
+
+def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
+    """Pure-python kernel over one document; unit-testable without Spark."""
+    tokens = tokenize_with_spans(text)
+    n = len(tokens)
+    norms = [norm_term(t[2]) for t in tokens]
+    out: list[dict] = []
+    dict_spans: list[tuple[int, int, str]] = []  # (start, end, norm) of lexicon hits
+    abbrev_toks: list[int] = []
+
+    i = 0
+    while i < n:
+        matched = False
+        # greedy leftmost-longest lexicon match
+        for k in range(min(MAX_TERM_TOKENS, n - i), 0, -1):
+            if k > 1:
+                # n-gram tokens must be separated by spaces/tabs only
+                gap_ok = all(
+                    set(text[tokens[j][1] : tokens[j + 1][0]]) <= set(_WS)
+                    and tokens[j][1] < tokens[j + 1][0]
+                    for j in range(i, i + k - 1)
+                )
+                if not gap_ok:
+                    continue
+            cand = " ".join(norms[i : i + k])
+            mtype = index.get(cand)
+            if mtype is not None:
+                s, e = tokens[i][0], tokens[i + k - 1][1]
+                out.append(
+                    {
+                        "start": s,
+                        "end": e,
+                        "text": text[s:e],
+                        "norm_text": cand,
+                        "mtype": mtype,
+                        "defined_as": None,
+                    }
+                )
+                dict_spans.append((s, e, cand))
+                i += k
+                matched = True
+                break
+        if matched:
+            continue
+
+        s, e, raw = tokens[i]
+        low = raw.lower()
+        if cl.is_abbrev_like(raw):
+            # candidate abbreviation; resolved in pass 2 (doc-local defs),
+            # with a fuzzy-systematic fallback in pass 3 for unbound ones
+            abbrev_toks.append(i)
+            i += 1
+            continue
+        if cl.is_formula_like(raw):
+            out.append(
+                {
+                    "start": s,
+                    "end": e,
+                    "text": raw,
+                    "norm_text": norm_term(raw),
+                    "mtype": "FORMULA",
+                    "defined_as": None,
+                }
+            )
+            i += 1
+            continue
+        if cl.is_systematic_like(low):
+            # "-oic acid" continuation: a systematic-looking token followed
+            # by space-adjacent "acid" is one two-token mention
+            if (
+                i + 1 < n
+                and norms[i + 1] == "acid"
+                and tokens[i][1] < tokens[i + 1][0]
+                and set(text[tokens[i][1] : tokens[i + 1][0]]) <= set(_WS)
+            ):
+                e = tokens[i + 1][1]
+                nrm = f"{norm_term(raw)} acid"
+                i += 2
+            else:
+                nrm = norm_term(raw)
+                i += 1
+            out.append(
+                {
+                    "start": s,
+                    "end": e,
+                    "text": text[s:e],
+                    "norm_text": nrm,
+                    "mtype": "SYSTEMATIC",
+                    "defined_as": None,
+                }
+            )
+            continue
+        i += 1
+
+    # pass 2: abbreviation definitions — "<lexicon mention> (ABBR)"
+    end_to_norm = {e: nrm for (_s, e, nrm) in dict_spans}
+    defs: dict[str, str] = {}
+    for ti in abbrev_toks:
+        s, e, raw = tokens[ti]
+        if (
+            s >= 2
+            and e < len(text)
+            and text[s - 1] == "("
+            and text[e] == ")"
+            and text[s - 2] in _WS
+        ):
+            long_norm = end_to_norm.get(s - 2)
+            if long_norm is not None:
+                defs[raw] = long_norm
+
+    # pass 3: emit bound abbreviations; unbound uppercase tokens fall back to
+    # the fuzzy-systematic channel (e.g. a corrupted name in an ALL_CAPS
+    # identifier) — ordinary code constants pass neither gate
+    for ti in abbrev_toks:
+        s, e, raw = tokens[ti]
+        long_norm = defs.get(raw)
+        if long_norm is not None:
+            out.append(
+                {
+                    "start": s,
+                    "end": e,
+                    "text": raw,
+                    "norm_text": norm_term(raw),
+                    "mtype": "ABBREVIATION",
+                    "defined_as": long_norm,
+                }
+            )
+        elif cl.is_systematic_like(raw.lower()):
+            out.append(
+                {
+                    "start": s,
+                    "end": e,
+                    "text": raw,
+                    "norm_text": norm_term(raw),
+                    "mtype": "SYSTEMATIC",
+                    "defined_as": None,
+                }
+            )
+
+    out.sort(key=lambda m: (m["start"], m["end"]))
+    return out
+
+
+def detect_mentions(files: DataFrame, index_bc) -> DataFrame:
+    """files (keyed corpus incl. ``content``) -> MENTIONS DataFrame.
+
+    ``index_bc`` is a ``sparkContext.broadcast({norm_term: mtype})`` — the
+    detection membership index built by kgx.io.dictionary.detection_index.
+    """
+
+    meta_cols = ["file_key", "repo", "path", "commit", "lang"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = index_bc.value  # one lookup per python worker process
+        for pdf in batches:
+            rows: list[dict] = []
+            for r in pdf.itertuples(index=False):
+                for m in detect_in_text(r.content or "", index):
+                    m2 = {c: getattr(r, c) for c in meta_cols}
+                    m2.update(m)
+                    rows.append(m2)
+            cols = meta_cols + ["start", "end", "text", "norm_text", "mtype", "defined_as"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    mentions = files.select(*meta_cols, "content").mapInPandas(kernel, DETECT_SCHEMA)
+    # deterministic mention identity: hash of (file_key, span) — JVM-side
+    return mentions.withColumn(
+        "mention_id", F.xxhash64("file_key", "start", "end")
+    ).select(
+        "file_key",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "mention_id",
+        "start",
+        "end",
+        "text",
+        "norm_text",
+        "mtype",
+        "defined_as",
+    )

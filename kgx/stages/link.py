@@ -1,0 +1,139 @@
+"""Stage 2 — entity linking (SURVEY §2 K2; BASELINE.json:L6 stage (2)).
+
+Methods, in score order (all against the broadcast lexicon — the dictionary
+side of every join here is explicitly broadcast per the spec):
+
+1. ``exact``      (1.00) — normalized surface = canonical name or formula.
+2. ``systematic`` (0.95) — OPSIN-style resolution: separator-free skeleton
+   lookup for systematic-looking surfaces that miss exact match
+   [PK: molminer/OPSIN.py analogue; no subprocess — a broadcast join].
+3. ``synonym``    (0.90) — normalized surface = lexicon synonym (misspelling
+   / spacing variants recorded in the lexicon).
+4. ``abbrev``     (0.85) — doc-local ``defined_as`` long form (bound at
+   detection) resolved against the lexicon.
+5. ``fuzzy``      (<0.80) — minhash-banded candidate generation + exact
+   rerank in pandas UDF batches (kgx.link.minhash / kgx.link.rerank).
+
+The cascade is expressed as *broadcast left joins + null filters* rather
+than anti-joins: no shuffle is needed to route a mention to the next method.
+One final window (top-1 per mention by (score, method, compound_id) — total
+order, deterministic) produces the LINKS table.  A mention with no surviving
+method yields no link row (the reference drops unresolved entities the same
+way [PK: molminer/Extractor.py]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgx.io.dictionary import skeleton_index_df, term_table
+from kgx.link.minhash import with_bands
+from kgx.link.rerank import rerank
+from kgx.text.normalize import skeleton_col
+
+_BASE_COLS = ["mention_id", "file_key", "repo", "path", "commit", "norm_text", "mtype", "defined_as"]
+_LINK_COLS = ["mention_id", "file_key", "repo", "path", "commit", "compound_id", "score", "method"]
+
+
+def _unique_terms(terms: DataFrame) -> DataFrame:
+    """Defensive: one compound per normalized surface (deterministic min)."""
+    w = Window.partitionBy("term_norm").orderBy("compound_id", "kind")
+    return (
+        terms.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def link_entities(mentions: DataFrame, dict_df: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
+    terms = _unique_terms(term_table(dict_df))
+    base = mentions.select(*_BASE_COLS)
+
+    # --- exact / synonym (one broadcast join serves both) ------------------
+    j = base.filter(F.col("mtype") != "ABBREVIATION").join(
+        F.broadcast(terms.select("term_norm", "compound_id", "kind")),
+        base.norm_text == F.col("term_norm"),
+        "left",
+    )
+    exact_links = j.filter(F.col("compound_id").isNotNull()).select(
+        "mention_id",
+        "file_key",
+        "repo",
+        "path",
+        "commit",
+        "compound_id",
+        F.when(F.col("kind") == "synonym", F.lit(0.90)).otherwise(F.lit(1.0)).alias("score"),
+        F.when(F.col("kind") == "synonym", F.lit("synonym")).otherwise(F.lit("exact")).alias("method"),
+    )
+    unmatched = j.filter(F.col("compound_id").isNull()).select(*_BASE_COLS)
+
+    # --- abbrev: doc-local long form bound at detection --------------------
+    abbrev_links = (
+        base.filter(F.col("defined_as").isNotNull())
+        .join(
+            F.broadcast(terms.select(F.col("term_norm").alias("__t"), "compound_id")),
+            F.col("defined_as") == F.col("__t"),
+            "inner",
+        )
+        .select(
+            "mention_id",
+            "file_key",
+            "repo",
+            "path",
+            "commit",
+            "compound_id",
+            F.lit(0.85).alias("score"),
+            F.lit("abbrev").alias("method"),
+        )
+    )
+
+    # --- systematic: skeleton lookup (OPSIN analogue) ----------------------
+    skel_idx = skeleton_index_df(terms)
+    s = (
+        unmatched.filter(F.col("mtype") == "SYSTEMATIC")
+        .withColumn("__skel", skeleton_col(F.col("norm_text")))
+        .join(F.broadcast(skel_idx), F.col("__skel") == F.col("term_skeleton"), "left")
+    )
+    systematic_links = s.filter(F.col("compound_id").isNotNull()).select(
+        "mention_id",
+        "file_key",
+        "repo",
+        "path",
+        "commit",
+        "compound_id",
+        F.lit(0.95).alias("score"),
+        F.lit("systematic").alias("method"),
+    )
+
+    links = exact_links.unionByName(abbrev_links).unionByName(systematic_links)
+
+    # --- fuzzy: minhash bands -> broadcast band join -> pandas rerank ------
+    if enable_fuzzy:
+        fuzzy_mentions = s.filter(F.col("compound_id").isNull()).select(*_BASE_COLS)
+        term_bands = with_bands(
+            terms.filter(F.col("kind") != "formula").select("term_norm", "compound_id"),
+            "term_norm",
+        )
+        mention_bands = with_bands(
+            fuzzy_mentions.select("mention_id", "file_key", "repo", "path", "commit", "norm_text"),
+            "norm_text",
+        )
+        candidates = (
+            mention_bands.join(
+                F.broadcast(term_bands.select("band_id", "band_hash", "term_norm", "compound_id")),
+                ["band_id", "band_hash"],
+            )
+            .select("mention_id", "file_key", "repo", "path", "commit", "norm_text", "compound_id", "term_norm")
+            .dropDuplicates(["mention_id", "compound_id", "term_norm"])
+        )
+        links = links.unionByName(rerank(candidates).select(*_LINK_COLS))
+
+    # --- top-1 per mention: total order -> deterministic -------------------
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("score").desc(), F.col("method").asc(), F.col("compound_id").asc()
+    )
+    return (
+        links.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select(*_LINK_COLS)
+    )
