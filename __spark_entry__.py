@@ -1,38 +1,666 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``      — flagship query: full kgx pipeline on the tiny
+                        synthesized corpus, then "top compounds by distinct
+                        repo count" over the produced triples.
+``queries()``         — one callable per implemented operator family from
+                        SURVEY.md §2 (scans, filters, joins incl. anti/semi/
+                        range/salted, aggregations incl. rollup, windows,
+                        sorts, set ops, string/hash/JSON/date/array/HOF
+                        functions, plus the kgx pipeline stages themselves).
+``oracle_sql()``      — DuckDB-runnable ANSI SQL equivalents.  Relational
+                        operators run against the driver's pre-registered
+                        sf-dir views; kgx pipeline operators are checked
+                        against the *golden* fixture parquet via
+                        read_parquet() — an independent ground truth, not a
+                        re-implementation.
+
+Column names/types are aligned on both sides (every computed column aliased
+identically; sums cast; doubles rounded) because the driver hash-compares
+values after sorting columns by name.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+FIXTURE_BASE = "/root/repo/tests/fixtures"
+_PIPE_CACHE: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fixture_dir(scale: str = "tiny") -> str:
+    from kgx.fixtures.gen import ensure
+
+    return str(ensure(scale, FIXTURE_BASE))
+
+
+def _pipeline_outputs(spark: SparkSession, scale: str = "tiny") -> dict:
+    """Run (once per session) the kgx pipeline on the synthesized corpus."""
+    key = (id(spark), scale)
+    if key not in _PIPE_CACHE:
+        from kgx.pipeline import PipelineConfig, run_pipeline
+
+        d = _fixture_dir(scale)
+        cfg = PipelineConfig(
+            source_uri=f"{d}/source_files.parquet",
+            dict_uri=f"{d}/compound_dict.parquet",
+            num_partitions=8,
+        )
+        out = run_pipeline(spark, cfg)
+        out["triples"] = out["triples"].localCheckpoint()
+        out["mentions"] = out["mentions"].localCheckpoint()
+        out["links"] = out["links"].localCheckpoint()
+        _PIPE_CACHE[key] = out
+    return _PIPE_CACHE[key]
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: detect → link → canonicalize → triples on the tiny corpus,
+    then top compounds by distinct-repo spread (SURVEY §7 M1)."""
+    triples = _pipeline_outputs(spark, "tiny")["triples"]
+    return (
+        triples.filter(F.col("pred") == "foundInRepo")
+        .groupBy(F.col("subj").alias("compound"))
+        .agg(F.countDistinct("obj").alias("n_repos"))
+        .orderBy(F.col("n_repos").desc(), F.col("compound"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# queries: relational operator surface over the driver's sf-dir tables
+# --------------------------------------------------------------------------
+
+
+def q_scan_filter_project(spark, sf_dir):  # B1/B2: pushdown-friendly scan
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1995-06-01")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_partkey", "l_quantity")
+        .limit(500)
+    )
+
+
+def q_agg_pricing_summary(spark, sf_dir):  # E1: TPC-H Q1 shape
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_broadcast_dim(spark, sf_dir):  # D1: broadcast dim join
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_join_four_way(spark, sf_dir):  # D2: multi-join + agg
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+def q_anti_join(spark, sf_dir):  # D4: customers with no orders
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_semi_join(spark, sf_dir):  # D5: customers with ≥1 order
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_window_topk_per_group(spark, sf_dir):  # F1/G3: top-3 orders per customer
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def q_window_running_sum(spark, sf_dir):  # F4: frame aggregate
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        ).orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q_window_lag_gap(spark, sf_dir):  # F3: lag sweep
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+        ).orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q_distinct_agg(spark, sf_dir):  # E2: distinct per group
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+        .orderBy("l_suppkey")
+    )
+
+
+def q_rollup_counts(spark, sf_dir):  # E6: rollup with grand total
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+def q_union_set(spark, sf_dir):  # H1: unionByName + distinct
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    return views.unionByName(clicks).distinct().orderBy("user_id")
+
+
+def q_except_orders(spark, sf_dir):  # H2: set EXCEPT — orders with no lineitem
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return o.subtract(li).orderBy("o_orderkey")
+
+
+def q_intersect_users(spark, sf_dir):  # H3: intersect
+    e = _t(spark, sf_dir, "events")
+    viewers = e.filter(F.col("event_type") == "view").select("user_id")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.intersect(buyers).orderBy("user_id")
+
+
+def q_string_funcs(spark, sf_dir):  # I1: string surface over documents
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").alias("n_chars_calc"),
+            F.lower(F.substring("text", 1, 8)).alias("prefix8"),
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        ).orderBy("doc_id")
+    )
+
+
+def q_hash_sha256(spark, sf_dir):  # I2: sha2 (the invariant primitive)
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha")).orderBy("doc_id")
+
+
+def q_json_extract(spark, sf_dir):  # I6: JSON in events.props
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        ).orderBy("event_id")
+    )
+
+
+def q_date_trunc_counts(spark, sf_dir):  # I3: date/time bucketing
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).cast("string").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day", "event_type")
+    )
+
+
+def q_math_exprs(spark, sf_dir):  # I4: math scalar surface
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_extendedprice") > 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+            F.round(F.greatest("l_tax", "l_discount"), 4).alias("max_rate"),
+            F.floor(F.col("l_quantity")).cast("long").alias("qty_floor"),
+        ).orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q_array_hof_norm(spark, sf_dir):  # I5: higher-order functions on arrays
+    em = _t(spark, sf_dir, "embeddings")
+    return (
+        em.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("dim"),
+            F.round(
+                F.aggregate(
+                    F.transform("embedding", lambda x: (x * x).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            ).alias("norm2"),
+        ).orderBy("vec_id")
+    )
+
+
+def q_case_when_buckets(spark, sf_dir):  # I7: conditional routing
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 200000, "high")
+            .when(F.col("o_totalprice") > 50000, "mid")
+            .otherwise("low")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def q_global_sort_limit(spark, sf_dir):  # G1/G2: total-order top-k
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(25)
+    )
+
+
+def q_latest_per_key(spark, sf_dir):  # D7: as-of/latest-version idiom
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey")
+    )
+
+
+def q_range_self_join(spark, sf_dir):  # D6: range/interval self-join
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.ts") < F.col("b.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return (
+        pairs.groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+def q_salted_groupby(spark, sf_dir):  # D3: two-phase salted aggregation
+    e = _t(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("event_type", "__salt")
+        .agg(F.sum("value").alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.round(F.sum("__s"), 2).alias("total_value"), F.sum("__n").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):  # extras: exact dedup by content hash
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_sha", F.sha2("text", 256))
+        .groupBy("lang")
+        .agg(F.countDistinct("text_sha").alias("n_unique_docs"))
+        .orderBy("lang")
+    )
+
+
+def q_approx_distinct(spark, sf_dir):  # E3: HLL sketch (rows-only check)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+
+
+# --------------------------------------------------------------------------
+# queries: kgx pipeline operators vs golden fixtures (independent oracle)
+# --------------------------------------------------------------------------
+
+
+def q_kg_mentions_by_type(spark, sf_dir):
+    m = _pipeline_outputs(spark)["mentions"]
+    return m.groupBy("mtype").agg(F.count(F.lit(1)).alias("n")).orderBy("mtype")
+
+
+def q_kg_mention_spans(spark, sf_dir):
+    m = _pipeline_outputs(spark)["mentions"]
+    return (
+        m.select("repo", "path", "commit", "start", "end")
+        .orderBy("repo", "path", "commit", "start", "end")
+    )
+
+
+def q_kg_triples_by_pred(spark, sf_dir):
+    t = _pipeline_outputs(spark)["triples"]
+    return t.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).orderBy("pred")
+
+
+def q_kg_triples_full(spark, sf_dir):
+    t = _pipeline_outputs(spark)["triples"]
+    return t.select("subj", "pred", "obj").orderBy("subj", "pred", "obj")
+
+
+def q_kg_top_compounds_by_repo_spread(spark, sf_dir):
+    t = _pipeline_outputs(spark)["triples"]
+    return (
+        t.filter(F.col("pred") == "foundInRepo")
+        .groupBy(F.col("subj").alias("compound"))
+        .agg(F.countDistinct("obj").alias("n_repos"))
+        .orderBy(F.col("n_repos").desc(), "compound")
+        .limit(10)
+    )
+
+
+def q_kg_sha_invariant(spark, sf_dir):
+    from kgx.io.source import scan_source_files
+
+    d = _fixture_dir()
+    files = scan_source_files(spark, f"{d}/source_files.parquet")
+    return (
+        files.select("repo", "path", "commit", "content_sha")
+        .orderBy("repo", "path", "commit")
+    )
+
+
+def q_kg_links_by_method(spark, sf_dir):  # rows-only (method not in golden)
+    l = _pipeline_outputs(spark)["links"]
+    return l.groupBy("method").agg(F.count(F.lit(1)).alias("n")).orderBy("method")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_filter_project": q_scan_filter_project,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_broadcast_dim": q_join_broadcast_dim,
+        "join_four_way": q_join_four_way,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "window_topk_per_group": q_window_topk_per_group,
+        "window_running_sum": q_window_running_sum,
+        "window_lag_gap": q_window_lag_gap,
+        "distinct_agg": q_distinct_agg,
+        "rollup_counts": q_rollup_counts,
+        "union_set": q_union_set,
+        "except_orders": q_except_orders,
+        "intersect_users": q_intersect_users,
+        "string_funcs": q_string_funcs,
+        "hash_sha256": q_hash_sha256,
+        "json_extract": q_json_extract,
+        "date_trunc_counts": q_date_trunc_counts,
+        "math_exprs": q_math_exprs,
+        "array_hof_norm": q_array_hof_norm,
+        "case_when_buckets": q_case_when_buckets,
+        "global_sort_limit": q_global_sort_limit,
+        "latest_per_key": q_latest_per_key,
+        "range_self_join": q_range_self_join,
+        "salted_groupby": q_salted_groupby,
+        "dedup_exact": q_dedup_exact,
+        "approx_distinct": q_approx_distinct,
+        "kg_mentions_by_type": q_kg_mentions_by_type,
+        "kg_mention_spans": q_kg_mention_spans,
+        "kg_triples_by_pred": q_kg_triples_by_pred,
+        "kg_triples_full": q_kg_triples_full,
+        "kg_top_compounds_by_repo_spread": q_kg_top_compounds_by_repo_spread,
+        "kg_sha_invariant": q_kg_sha_invariant,
+        "kg_links_by_method": q_kg_links_by_method,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _fx(name: str) -> str:
+    return f"read_parquet('{FIXTURE_BASE}/tiny/{name}.parquet')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    golden_triples = _fx("golden_triples")
+    golden_mentions = _fx("golden_mentions")
+    manifest = _fx("manifest")
+    return {
+        "scan_filter_project": """
+            SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1995-06-01'
+            ORDER BY l_orderkey, l_partkey, l_quantity LIMIT 500
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+                   ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "join_broadcast_dim": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "join_four_way": """
+            SELECT n_name,
+                   ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "window_topk_per_group": """
+            SELECT o_custkey, o_orderkey, rk FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk
+        """,
+        "window_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(CAST(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+                   AS running_total
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "window_lag_gap": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(DATE_DIFF('day',
+                        LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey),
+                        o_orderdate) AS INT) AS gap_days
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "distinct_agg": """
+            SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+        """,
+        "rollup_counts": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "union_set": """
+            SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM events WHERE event_type = 'view'
+              UNION ALL
+              SELECT user_id FROM events WHERE event_type = 'click')
+            ORDER BY user_id
+        """,
+        "except_orders": """
+            SELECT o_orderkey FROM orders
+            EXCEPT
+            SELECT l_orderkey FROM lineitem
+            ORDER BY o_orderkey
+        """,
+        "intersect_users": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id
+        """,
+        "string_funcs": """
+            SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars_calc,
+                   LOWER(SUBSTRING(text, 1, 8)) AS prefix8,
+                   CAST(LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "hash_sha256": """
+            SELECT doc_id, SHA256(text) AS text_sha FROM documents ORDER BY doc_id
+        """,
+        "json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events ORDER BY event_id
+        """,
+        "date_trunc_counts": """
+            SELECT CAST(CAST(DATE_TRUNC('day', ts) AS DATE) AS VARCHAR) AS day,
+                   event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "math_exprs": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(LN(l_extendedprice), 6) AS log_price,
+                   ROUND(GREATEST(l_tax, l_discount), 4) AS max_rate,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor
+            FROM lineitem WHERE l_extendedprice > 0
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "array_hof_norm": """
+            SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS dim,
+                   ROUND(CAST(LIST_SUM(LIST_TRANSFORM(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE), 4) AS norm2
+            FROM embeddings ORDER BY vec_id
+        """,
+        "case_when_buckets": """
+            SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+                        WHEN o_totalprice > 50000 THEN 'mid'
+                        ELSE 'low' END AS bucket, COUNT(*) AS n
+            FROM orders GROUP BY 1 ORDER BY bucket
+        """,
+        "global_sort_limit": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25
+        """,
+        "latest_per_key": """
+            SELECT o_custkey, o_orderkey FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1 ORDER BY o_custkey
+        """,
+        "range_self_join": """
+            SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.ts < b.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+            GROUP BY a.user_id ORDER BY user_id
+        """,
+        "salted_groupby": """
+            SELECT event_type, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "dedup_exact": """
+            SELECT lang, COUNT(DISTINCT SHA256(text)) AS n_unique_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # approx_distinct: no oracle (sketch) -> rows-only check
+        "kg_mentions_by_type": f"""
+            SELECT mtype, COUNT(*) AS n FROM {golden_mentions}
+            GROUP BY mtype ORDER BY mtype
+        """,
+        "kg_mention_spans": f"""
+            SELECT repo, path, commit, start, "end" FROM {golden_mentions}
+            ORDER BY repo, path, commit, start, "end"
+        """,
+        "kg_triples_by_pred": f"""
+            SELECT pred, COUNT(*) AS n FROM {golden_triples} GROUP BY pred ORDER BY pred
+        """,
+        "kg_triples_full": f"""
+            SELECT subj, pred, obj FROM {golden_triples} ORDER BY subj, pred, obj
+        """,
+        "kg_top_compounds_by_repo_spread": f"""
+            SELECT subj AS compound, COUNT(DISTINCT obj) AS n_repos
+            FROM {golden_triples} WHERE pred = 'foundInRepo'
+            GROUP BY subj ORDER BY n_repos DESC, compound LIMIT 10
+        """,
+        "kg_sha_invariant": f"""
+            SELECT repo, path, commit, content_sha FROM {manifest}
+            ORDER BY repo, path, commit
+        """,
+        # kg_links_by_method: no oracle (method labels are pipeline-internal)
+    }

@@ -32,9 +32,14 @@ RERANK_SCHEMA = (
     "compound_id long, score double, method string"
 )
 
+# Designed recall envelope: insert/delete/duplicate corruptions at edit
+# distance ≤ 2 (the lexicon's misspelling model).  Adjacent transpositions on
+# very short names can fall to ~0.2 Jaccard where the banding itself has a
+# ~20% miss rate — out of envelope by design; widen BANDS before loosening
+# the score floor if that ever matters.
 FUZZY_SCALE = 0.80  # fuzzy scores live in (0, 0.80)
-MAX_LEV = 2
-MIN_SCORE = 0.55
+MAX_LEV = 2  # the precision guard: candidates must be ≤2 edits from a surface
+MIN_SCORE = 0.50
 
 
 def _rerank_group(pdf: pd.DataFrame) -> pd.DataFrame:

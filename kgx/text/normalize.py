@@ -45,8 +45,8 @@ def norm_term(term: str) -> str:
     Lowercase; token-internal ``,-'`` preserved; whitespace/punctuation
     between tokens collapsed to one space.  Idempotent.
     """
-    parts = [p for p in _SEP_RE.split(term.lower()) if p]
-    return " ".join(p.strip(",-'") for p in parts)
+    parts = (p.strip(",-'") for p in _SEP_RE.split(term.lower()))
+    return " ".join(p for p in parts if p)
 
 
 def skeleton(term: str) -> str:

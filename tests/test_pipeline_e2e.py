@@ -1,0 +1,72 @@
+"""End-to-end pipeline on tiny fixtures: P/R gate, invariants, determinism
+(SURVEY §5.2 items 1, 5, 6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgx.io.source import latest_versions, scan_source_files
+from kgx.pipeline import PipelineConfig, run_pipeline
+from kgx.quality.invariants import check_content_sha
+from kgx.quality.pr import per_predicate, precision_recall
+
+
+@pytest.fixture(scope="module")
+def outputs(spark, tiny_dir):
+    cfg = PipelineConfig(
+        source_uri=f"{tiny_dir}/source_files.parquet",
+        dict_uri=f"{tiny_dir}/compound_dict.parquet",
+        num_partitions=8,
+    )
+    return run_pipeline(spark, cfg)
+
+
+def test_pr_gate(outputs, tiny):
+    pr = precision_recall(outputs["triples"], tiny["golden_triples"])
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr
+
+
+def test_per_predicate_complete(outputs, tiny):
+    rows = {r["pred"]: r for r in per_predicate(outputs["triples"], tiny["golden_triples"]).collect()}
+    assert set(rows) == {"mentions", "hasSMILES", "hasInChI", "synonymOf", "foundInRepo"}
+    for pred, r in rows.items():
+        assert r["fn"] == 0, (pred, r)
+
+
+def test_mentions_match_golden_spans(outputs, tiny):
+    got = outputs["mentions"].select("repo", "path", "commit", "start", "end")
+    want = tiny["golden_mentions"].select("repo", "path", "commit", "start", "end")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_sha_invariant(spark, tiny_dir, tiny):
+    files = scan_source_files(spark, f"{tiny_dir}/source_files.parquet")
+    report = check_content_sha(files, tiny["manifest"])
+    assert report["ok"], report
+
+
+def test_latest_versions_pick_max_commit(spark, tiny_dir):
+    files = scan_source_files(spark, f"{tiny_dir}/source_files.parquet")
+    latest = latest_versions(files)
+    assert latest.groupBy("repo", "path").count().filter(F.col("count") > 1).count() == 0
+    # every kept commit is the max for its (repo, path)
+    mx = files.groupBy("repo", "path").agg(F.max("commit").alias("commit"))
+    assert latest.select("repo", "path", "commit").exceptAll(mx).count() == 0
+
+
+def test_rerun_is_deterministic(spark, tiny_dir, outputs):
+    cfg = PipelineConfig(
+        source_uri=f"{tiny_dir}/source_files.parquet",
+        dict_uri=f"{tiny_dir}/compound_dict.parquet",
+        num_partitions=4,  # different parallelism must not change results
+    )
+    again = run_pipeline(spark, cfg)
+    a = sorted(map(tuple, outputs["triples"].collect()))
+    b = sorted(map(tuple, again["triples"].collect()))
+    assert a == b
+
+
+def test_links_are_top1_per_mention(outputs):
+    dup = outputs["links"].groupBy("mention_id").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
