@@ -436,6 +436,120 @@ def q_kg_links_by_method(spark, sf_dir):  # rows-only (method not in golden)
     return l.groupBy("method").agg(F.count(F.lit(1)).alias("n")).orderBy("method")
 
 
+# --------------------------------------------------------------------------
+# queries: training-data pipeline extras (kgx.extras)
+# --------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark, sf_dir):  # exact brute-force ANN baseline
+    from kgx.extras.similarity import cosine_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    queries_df = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(em, queries_df, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q_ann_lsh_recall(spark, sf_dir):  # rows-only: LSH path vs exact overlap
+    from kgx.extras.similarity import cosine_topk, lsh_cosine_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    queries_df = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(em.select("embedding").first()["embedding"])
+    exact = cosine_topk(em, queries_df, k=5).select("query_id", "vec_id")
+    approx = lsh_cosine_topk(em, queries_df, dim=dim, k=5, n_tables=8).select(
+        "query_id", "vec_id"
+    )
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    return (
+        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("recall_at_5"))
+        .orderBy("query_id")
+    )
+
+
+def q_text_token_counts(spark, sf_dir):
+    from kgx.extras.textstats import token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        token_counts(d)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_ws_tokens").alias("ws_tokens"),
+            F.sum("n_bpe_pieces").alias("bpe_pieces"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from kgx.extras.textstats import quality_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        quality_scores(d)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_text_lang_id(spark, sf_dir):  # heuristic language id vs labeled lang
+    from kgx.extras.textstats import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        language_id(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from kgx.extras.textstats import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint(d).select("doc_id", "fp_sha").orderBy("doc_id")
+
+
+def q_dedup_minhash_docs(spark, sf_dir):  # rows-only: near-dup clusters
+    from kgx.extras.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents").limit(500)
+    clusters = minhash_dedup(d, "text", "doc_id", jaccard_threshold=0.8)
+    return (
+        clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size").agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("size")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):  # rows-only: binary-column plumbing
+    from kgx.extras.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, 64)
+    feats = extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.sum(F.element_at("feature", 1)), 4).alias("f0_sum"),
+        )
+        .orderBy("kind")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_project": q_scan_filter_project,
@@ -472,6 +586,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_compounds_by_repo_spread": q_kg_top_compounds_by_repo_spread,
         "kg_sha_invariant": q_kg_sha_invariant,
         "kg_links_by_method": q_kg_links_by_method,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_minhash_docs": q_dedup_minhash_docs,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -663,4 +785,82 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY repo, path, commit
         """,
         # kg_links_by_method: no oracle (method labels are pipeline-internal)
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE) AS cos
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # ann_lsh_recall: no oracle (LSH bucket structure is not SQL)
+        "text_token_counts": r"""
+            SELECT lang,
+                   CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS BIGINT)
+                       AS ws_tokens,
+                   CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_pieces
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "text_quality": r"""
+            WITH f AS (
+              SELECT lang,
+                     CAST(LENGTH(text) AS DOUBLE) AS n,
+                     CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                     CAST(LENGTH(REGEXP_REPLACE(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS DOUBLE) AS n_punct,
+                     CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+              FROM documents),
+            g AS (
+              SELECT lang,
+                     ROUND(n_alpha / CASE WHEN n > 0 THEN n ELSE 1 END, 6) AS alpha_ratio,
+                     ROUND(LEAST(n / 2000.0, 1.0) * 0.25
+                       + (n_alpha / CASE WHEN n > 0 THEN n ELSE 1 END) * 0.45
+                       + (1.0 - LEAST(n_punct / CASE WHEN n > 0 THEN n ELSE 1 END * 5.0, 1.0)) * 0.15
+                       + (1.0 - LEAST(n_upper / CASE WHEN n > 0 THEN n ELSE 1 END * 5.0, 1.0)) * 0.15,
+                       6) AS quality_score
+              FROM f)
+            SELECT lang, ROUND(AVG(alpha_ratio), 4) AS avg_alpha,
+                   ROUND(AVG(quality_score), 4) AS avg_quality
+            FROM g GROUP BY lang ORDER BY lang
+        """,
+        "text_lang_id": r"""
+            WITH toks AS (
+              SELECT lang, LIST_TRANSFORM(
+                       REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\s+'),
+                       t -> REGEXP_REPLACE(t, '[^\p{L}]', '', 'g')) AS tk
+              FROM documents),
+            s AS (
+              SELECT lang,
+                LEN(LIST_INTERSECT(tk, ['the','and','of','to','in','is','it','that','for','with'])) AS s_en,
+                LEN(LIST_INTERSECT(tk, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) AS s_de,
+                LEN(LIST_INTERSECT(tk, ['el','la','de','que','y','en','un','es','por','con'])) AS s_es,
+                LEN(LIST_INTERSECT(tk, ['le','la','de','et','un','est','pour','que','dans','avec'])) AS s_fr,
+                LEN(LIST_INTERSECT(tk, ['的','是','在','了','和','有','我','不','这','人'])) AS s_zh
+              FROM toks),
+            p AS (
+              SELECT lang,
+                     CASE WHEN GREATEST(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'unknown'
+                          WHEN s_en = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+                          WHEN s_de = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+                          WHEN s_es = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+                          WHEN s_fr = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+                          ELSE 'zh' END AS lang_pred
+              FROM s)
+            SELECT lang, lang_pred, COUNT(*) AS n FROM p
+            GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id,
+                   SHA256(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp_sha
+            FROM documents ORDER BY doc_id
+        """,
+        # dedup_minhash_docs / multimodal_features: no SQL oracle (LSH
+        # banding + binary payloads) -> rows-only checks + pytest goldens
     }

@@ -1,0 +1,144 @@
+"""Per-round benchmark (driver contract + SURVEY §6 protocol).
+
+Prints ONE JSON line:
+  {"metric": "kgx_e2e_pipeline_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "pipeline": {...triples/sec at local[8] and local[32], scaling eff...}}
+
+Two parts:
+
+1. KG pipeline end-to-end on the synthesized 'scaling' corpus (~960k files,
+   FIXTURES.md) at three parallelism levels — local[2], local[8], local[32]
+   — in separate JVMs (subprocess per master), with identical job config
+   (shuffle partitions, corpus partitions).  This evidences the north
+   rule's N→4N scaling criterion in-sandbox:
+     eff(N→4N) = (T_N / T_4N) / 4
+   The 2→8 pair is the primary evidence (both runs under-subscribe the
+   32-core host, so the ratio measures the JOB's scalability rather than
+   host contention); 8→32 is reported as the saturated secondary point.
+2. Headline relational queries over $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], each forced with the
+   noop sink (full execution, no collect-to-driver).
+
+Environment: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, KGX_BENCH_SCALE
+(fixture scale, default "scaling"), KGX_SKIP_SCALING=1 to skip part 1
+(runs local[$CPUS] only, on the 'bench' corpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+_SKIP_SCALING = os.environ.get("KGX_SKIP_SCALING") == "1"
+BENCH_SCALE = os.environ.get("KGX_BENCH_SCALE", "bench" if _SKIP_SCALING else "scaling")
+
+# identical job config at every parallelism level — only the core count
+# varies, as in an N vs 4N executor comparison
+_CHILD_CODE = """
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+master, fixture_dir = sys.argv[1], sys.argv[2]
+from kgx.session import get_spark
+from kgx.pipeline import PipelineConfig, run_pipeline
+spark = get_spark("kgx-bench", master=master, shuffle_partitions=32)
+cfg = PipelineConfig(
+    source_uri=f"{fixture_dir}/source_files.parquet",
+    dict_uri=f"{fixture_dir}/compound_dict.parquet",
+    num_partitions=64,
+)
+t0 = time.monotonic()
+out = run_pipeline(spark, cfg)
+n_triples = out["triples"].count()  # single full execution of stage 4
+wall = time.monotonic() - t0
+print(json.dumps({"wall_sec": round(wall, 2), "triples": n_triples,
+                  "triples_per_sec": round(n_triples / wall, 1)}))
+"""
+
+
+def _pipeline_at(master: str, fixture_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", _CHILD_CODE, master, fixture_dir],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _relational_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    names = [
+        "agg_pricing_summary",
+        "join_four_way",
+        "window_topk_per_group",
+        "range_self_join",
+        "distinct_agg",
+        "array_hof_norm",
+        "dedup_exact",
+        "global_sort_limit",
+    ]
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def main() -> int:
+    from kgx.fixtures.gen import ensure
+    from kgx.session import get_spark
+
+    fixture_dir = str(ensure(BENCH_SCALE, "/root/repo/tests/fixtures"))
+
+    report: dict = {
+        "metric": "kgx_e2e_pipeline_wall_sec",
+        "unit": "sec",
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
+    }
+
+    pipeline: dict = {"fixture_scale": BENCH_SCALE}
+    if not _SKIP_SCALING:
+        t2 = _pipeline_at("local[2]", fixture_dir)
+        t8 = _pipeline_at("local[8]", fixture_dir)
+        t32 = _pipeline_at("local[32]", fixture_dir)
+        pipeline.update(
+            {
+                "local2": t2,
+                "local8": t8,
+                "local32": t32,
+                "scaling_efficiency_2_to_8": round(t2["wall_sec"] / t8["wall_sec"] / 4, 3),
+                "scaling_efficiency_8_to_32": round(t8["wall_sec"] / t32["wall_sec"] / 4, 3),
+            }
+        )
+        report["value"] = t32["wall_sec"]
+    else:
+        one = _pipeline_at(f"local[{CPUS}]", fixture_dir)
+        pipeline[f"local{CPUS}"] = one
+        report["value"] = one["wall_sec"]
+    report["pipeline"] = pipeline
+
+    spark = get_spark("kgx-bench-queries", master=f"local[{CPUS}]")
+    t0 = time.monotonic()
+    times = _relational_queries(spark, SF_DIR)
+    times["kg_pipeline_e2e"] = report["value"]
+    report["queries"] = times
+    report["relational_wall_sec"] = round(time.monotonic() - t0, 2)
+
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

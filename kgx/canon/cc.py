@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kgx.shuffle.salt import hot_cold_join
+from kgx.shuffle.salt import hot_cold_join, hot_keys_of
 
 
 def connected_components(
@@ -45,9 +45,13 @@ def connected_components(
     Every node present in ``edges`` gets a row; component_id = min node id
     reachable (for the bipartite KG graph: the min compound id).
     """
-    adj = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionByName(
-        edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    adj = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionByName(edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
+        .localCheckpoint()  # loop-invariant: read once per round, not rebuilt
     )
+    # hotness of the edge list never changes across rounds — measure once
+    hot = F.broadcast(hot_keys_of(adj, "nbr", hot_threshold).localCheckpoint())
 
     labels = (
         adj.groupBy("node")
@@ -56,28 +60,42 @@ def connected_components(
         .localCheckpoint()
     )
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         nbr_labels = hot_cold_join(
             adj,
             labels.select(F.col("node").alias("nbr"), F.col("label").alias("nbr_label")),
             "nbr",
             hot_threshold=hot_threshold,
-        ).select("node", F.col("nbr_label").alias("label"))
+            hot_keys=hot,
+        ).select(
+            "node",
+            F.col("nbr_label").alias("label"),
+            F.lit(None).cast("long").alias("__old"),
+        )
 
+        # carry the previous label through the same aggregation so
+        # convergence needs no extra join: min(label) is the new label,
+        # max(__old) recovers the old one (exactly one non-null per node);
+        # the changed-count rides the materialization job via observe() —
+        # one Spark job per round, total
+        obs = Observation()
         new_labels = (
-            nbr_labels.unionByName(labels.select("node", "label"))
+            nbr_labels.unionByName(
+                labels.select("node", "label", F.col("label").alias("__old"))
+            )
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("__old").alias("__old"))
+            .observe(
+                obs,
+                F.sum(F.when(F.col("label") < F.col("__old"), 1).otherwise(0)).alias("changed"),
+            )
             .localCheckpoint()
         )
 
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = obs.get["changed"] or 0
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
 

@@ -36,6 +36,15 @@ def elect_representatives(components: DataFrame, dict_df: DataFrame) -> DataFram
 
 def compound_rep_map(components: DataFrame, dict_df: DataFrame) -> DataFrame:
     """-> (compound_id, component_id, rep_id) for every compound in the
-    graph; the broadcastable map materialize joins links against."""
+    graph; the broadcastable map materialize joins links against.
+
+    Eagerly collapsed to one cached partition: stage 4 broadcasts it from
+    several plan shapes, and a single-task collect per broadcast beats
+    re-running the election aggregation each time."""
     reps = elect_representatives(components, dict_df)
-    return compound_components(components).join(reps, "component_id")
+    return (
+        compound_components(components)
+        .join(reps, "component_id")
+        .coalesce(1)
+        .localCheckpoint()
+    )

@@ -42,6 +42,10 @@ SCALES = {
     "tiny": (200, 300),
     "small": (5000, 3000),
     "bench": (60000, 8000),
+    # scaling: sized so parallel compute dominates the per-job serial floor
+    # (~30 s of broadcast/UDF-stage setup) — the regime where the N→4N
+    # efficiency criterion is meaningful
+    "scaling": (2400000, 8000),
 }
 
 LANGS = ("python", "java", "c", "go", "rust", "markdown")
@@ -476,7 +480,9 @@ def generate(scale: str, out_dir: str | Path) -> dict:
 
     def write(name: str, pdf: pd.DataFrame, schema: pa.schema | None = None):
         tbl = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
-        pq.write_table(tbl, out / f"{name}.parquet")
+        # small row groups so Spark's scan can split a single fixture file
+        # across tasks (one giant row group = a one-task scan bottleneck)
+        pq.write_table(tbl, out / f"{name}.parquet", row_group_size=16384)
         return len(pdf)
 
     counts = {

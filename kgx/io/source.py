@@ -46,6 +46,12 @@ def latest_versions(df: DataFrame) -> DataFrame:
     the lexicographically greatest commit id; deterministic and agreed with
     the fixture generator.  Window row_number is the Spark idiom for an
     as-of/latest join (no native as-of in Spark).
+
+    Scale note: this shuffles every column of ``df`` — including fat
+    ``content``.  The pipeline avoids it (see
+    :func:`latest_commit_map` + kgx.pipeline: versions are dropped AFTER
+    detection, on mention-sized rows); this operator remains for slim
+    tables and as the D7 inventory item.
     """
     w = Window.partitionBy("repo", "path").orderBy(F.col("commit").desc())
     return (
@@ -53,6 +59,15 @@ def latest_versions(df: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def latest_commit_map(spark: SparkSession, uri: str, fmt: str = "parquet") -> DataFrame:
+    """(repo, path, commit=max) from a columns-pruned scan — the slim side
+    of the post-detection version-dedup join.  Catalyst pushes the
+    3-column projection into the parquet/Iceberg reader, so the corpus
+    ``content`` bytes are never touched here."""
+    df = read_table(spark, uri, fmt=fmt).select("repo", "path", "commit")
+    return df.groupBy("repo", "path").agg(F.max("commit").alias("commit"))
 
 
 def repartition_corpus(df: DataFrame, num_partitions: int) -> DataFrame:

@@ -42,35 +42,52 @@ MAX_LEV = 2  # the precision guard: candidates must be ≤2 edits from a surface
 MIN_SCORE = 0.50
 
 
-def _rerank_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    if pdf.empty:
-        return pdf.iloc[0:0][
-            ["mention_id", "file_key", "repo", "path", "commit", "compound_id", "score", "method"]
-        ]
-    jac = [fuzzy_jaccard(a, b) for a, b in zip(pdf["norm_text"], pdf["term_norm"])]
-    lev = [levenshtein(a, b) for a, b in zip(pdf["norm_text"], pdf["term_norm"])]
-    maxlen = [max(len(a), len(b), 1) for a, b in zip(pdf["norm_text"], pdf["term_norm"])]
-    out = pdf.assign(
-        __jac=jac,
-        __lev=lev,
-        score=[
-            FUZZY_SCALE * (0.4 * j + 0.6 * (1.0 - l / m))
-            for j, l, m in zip(jac, lev, maxlen)
-        ],
-        method="fuzzy",
+def _pair_score(a: str, b: str) -> tuple[int, float]:
+    lev = levenshtein(a, b, cap=MAX_LEV + 2)  # banded: exact where it matters
+    score = FUZZY_SCALE * (
+        0.4 * fuzzy_jaccard(a, b) + 0.6 * (1.0 - lev / max(len(a), len(b), 1))
     )
+    return lev, score
+
+
+def _rerank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = ["mention_id", "file_key", "repo", "path", "commit", "compound_id", "score", "method"]
+    if pdf.empty:
+        return pdf.iloc[0:0].assign(score=0.0, method="")[cols]
+    # many mentions share a surface form: score each distinct string pair once
+    cache: dict[tuple[str, str], tuple[int, float]] = {}
+    levs, scores = [], []
+    for a, b in zip(pdf["norm_text"], pdf["term_norm"]):
+        key = (a, b)
+        got = cache.get(key)
+        if got is None:
+            got = cache[key] = _pair_score(a, b)
+        levs.append(got[0])
+        scores.append(got[1])
+    out = pdf.assign(__lev=levs, score=scores, method="fuzzy")
     out = out[(out["__lev"] <= MAX_LEV) & (out["score"] >= FUZZY_SCALE * MIN_SCORE)]
-    return out[
-        ["mention_id", "file_key", "repo", "path", "commit", "compound_id", "score", "method"]
-    ]
+    return out[cols]
 
 
-def rerank(candidates: DataFrame, n_buckets: int = 1024) -> DataFrame:
+def rerank(candidates: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """candidates: mention_id, file_key, repo, path, commit, norm_text,
-    compound_id, term_norm  ->  scored fuzzy link rows."""
+    compound_id, term_norm  ->  scored fuzzy link rows.
+
+    n_buckets defaults to 2× the session's shuffle parallelism — enough
+    groups to spread work, coarse enough that groups aren't per-mention.
+    """
+    if n_buckets is None:
+        n_buckets = 2 * int(
+            candidates.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     bucketed = candidates.withColumn(
         "__bucket", F.pmod(F.xxhash64("mention_id"), F.lit(n_buckets))
     )
+    # explicit numbered repartition: AQE's byte-based coalescing would fuse
+    # this shuffle down to a handful of partitions (the rows are narrow) and
+    # serialize the Python scoring — partition count must reflect CPU cost,
+    # not bytes.  groupBy on the same key then reuses this exchange.
+    bucketed = bucketed.repartition(n_buckets, "__bucket")
     return bucketed.groupBy("__bucket").applyInPandas(
         lambda pdf: _rerank_group(pdf), RERANK_SCHEMA
     )

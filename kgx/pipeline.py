@@ -25,8 +25,8 @@ from pyspark.sql import functions as F
 
 from kgx.canon.cc import connected_components
 from kgx.canon.elect import compound_rep_map
-from kgx.io.dictionary import detection_index, load_dict
-from kgx.io.source import latest_versions, repartition_corpus, scan_source_files
+from kgx.io.dictionary import detection_index, detection_index_from_uri, load_dict
+from kgx.io.source import latest_commit_map, repartition_corpus, scan_source_files
 from kgx.schemas import mention_node
 from kgx.stages.detect import detect_mentions
 from kgx.stages.link import link_entities
@@ -69,15 +69,34 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
     from kgx.io.checkpoint import stage_checkpoint
 
     dict_df = load_dict(spark, cfg.dict_uri, fmt=cfg.table_format)
-    index_bc = spark.sparkContext.broadcast(detection_index(dict_df.toPandas()))
+    if cfg.table_format == "parquet":
+        index = detection_index_from_uri(cfg.dict_uri)
+    else:
+        index = detection_index(dict_df.toPandas())
+    index_bc = spark.sparkContext.broadcast(index)
 
+    # Content shuffles exactly ONCE (the spec-mandated repartition on
+    # sha256(repo,path)).  Version dedup happens AFTER detection on
+    # mention-sized rows: detecting the ~10% stale versions costs far less
+    # than a second full-content shuffle for a window — at 100 TB the
+    # difference is the job.
     files = repartition_corpus(
-        latest_versions(scan_source_files(spark, cfg.source_uri, fmt=cfg.table_format)),
+        scan_source_files(spark, cfg.source_uri, fmt=cfg.table_format),
         cfg.num_partitions,
     )
 
-    mentions = detect_mentions(files, index_bc)
+    # Stage boundaries are always materialized: either durably (run_dir ->
+    # parquet checkpoint + lineage) or in-session (localCheckpoint).  The
+    # link cascade fans out into several join branches over `mentions`, and
+    # the CC loop runs actions every round — without materialization each
+    # of those re-executes the detection UDF over the whole corpus.
+    latest = latest_commit_map(spark, cfg.source_uri, fmt=cfg.table_format)
+    mentions = detect_mentions(files, index_bc).join(
+        latest, ["repo", "path", "commit"], "left_semi"
+    )
     mentions = stage_checkpoint(spark, mentions, "mentions", cfg)
+    if cfg.run_dir is None:
+        mentions = mentions.localCheckpoint()
 
     links = link_entities(mentions, dict_df, enable_fuzzy=cfg.enable_fuzzy)
     links = stage_checkpoint(spark, links, "links", cfg)

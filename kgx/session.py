@@ -43,6 +43,9 @@ def get_spark(
         # content strings are fat: cap Arrow batch rows so executor-python
         # transfer stays within memory at 8 KB/doc × batch
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # smaller scan splits -> enough input tasks to feed every core even
+        # on a GB-scale corpus file (cluster default 128m is for TB scans)
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("KGX_DRIVER_MEM", "16g"))
     )

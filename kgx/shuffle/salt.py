@@ -50,21 +50,30 @@ def salted_join(
     return out.drop("__salt")
 
 
+def hot_keys_of(big: DataFrame, key: str, hot_threshold: int) -> DataFrame:
+    """Measured heavy-hitter keys of ``big`` (map-side-combined count).
+    Compute once and pass to :func:`hot_cold_join` when the big side is
+    reused across iterations (e.g. the CC loop's loop-invariant edge list)."""
+    return (
+        big.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_threshold)
+        .select(key)
+    )
+
+
 def hot_cold_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
     hot_threshold: int = 100_000,
     how: str = "inner",
+    hot_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Split-by-heavy-hitter join: broadcast the unique rows of measured-hot
     keys, shuffle-join the rest.  ``small`` must be unique per ``key``."""
-    hot_keys = (
-        big.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > hot_threshold)
-        .select(key)
-    )
+    if hot_keys is None:
+        hot_keys = hot_keys_of(big, key, hot_threshold)
     # hot_keys is tiny by construction -> broadcast both the split filters
     # and the hot slice of the unique side
     big_hot = big.join(F.broadcast(hot_keys), key, "left_semi")

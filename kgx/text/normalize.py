@@ -75,23 +75,39 @@ def jaccard(a: set[str], b: set[str]) -> float:
 
 
 def levenshtein(a: str, b: str, cap: int = 64) -> int:
-    """Plain DP edit distance (used only inside Arrow-batched rerank on
-    small candidate sets — never row-at-a-time over the corpus)."""
+    """Banded DP edit distance, exact up to ``cap`` (returns ≥cap beyond).
+
+    Only the ±cap diagonal band is computed — O(cap·n) instead of O(n²),
+    which matters because this runs in Python inside the Arrow-batched
+    rerank (small candidate sets, but hot)."""
     if a == b:
         return 0
-    if not a:
-        return len(b)
-    if not b:
-        return len(a)
-    if abs(len(a) - len(b)) >= cap:
-        return cap
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+    la, lb = len(a), len(b)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    if abs(la - lb) > cap:
+        return abs(la - lb)  # ≥ cap+1: a valid lower bound, callers only
+        # compare against thresholds ≤ cap
+    big = cap + 1
+    prev = [j if j <= cap else big for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        lo = max(1, i - cap)
+        hi = min(lb, i + cap)
+        cur = [big] * (lb + 1)
+        cur[0] = i if i <= cap else big
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
         prev = cur
-    return prev[-1]
+        if min(prev[lo - 1 : hi + 1]) > cap:
+            return big
+    return min(prev[-1], big)
 
 
 # --- Spark column-expression versions (JVM-side, codegen'd) ---------------

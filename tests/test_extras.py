@@ -1,0 +1,152 @@
+"""Training-data pipeline extras: dedup, similarity search, text analysis,
+multimodal plumbing (first-class components beyond the reference surface)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("quick", "quik")),  # near dup of 0
+        (3, "completely different text about spark shuffle partitions and joins"),
+        (4, "completely different text about spark shuffle partitions and joins!!"),  # near dup of 3
+        (5, "unrelated short snippet"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    from kgx.extras.dedup import exact_dedup
+
+    out = exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["dup_group"] == by_id[1]["dup_group"]
+    assert by_id[0]["is_canonical"] and not by_id[1]["is_canonical"]
+    assert by_id[2]["dup_group"] != by_id[0]["dup_group"]
+
+
+def test_minhash_dedup_clusters_near_dups(spark):
+    from kgx.extras.dedup import minhash_dedup
+
+    out = {r["doc_id"]: r["cluster_id"] for r in minhash_dedup(_docs(spark), "text", "doc_id").collect()}
+    assert out[0] == out[1] == out[2]  # exact + near dup cluster
+    assert out[3] == out[4]
+    assert out[0] != out[3]
+    assert out[5] not in (out[0], out[3])
+
+
+def test_simhash_dedup_pairs(spark):
+    from kgx.extras.dedup import simhash_dedup
+
+    pairs = {(r["doc_id"], r["id2"]) for r in simhash_dedup(_docs(spark), "text", "doc_id").collect()}
+    assert (0, 1) in pairs  # identical -> hamming 0
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+# --- similarity search -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # clustered vectors (realistic embedding structure): 10 centers + noise
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(10, 16))
+    vecs = np.vstack([c + 0.15 * rng.normal(size=(10, 16)) for c in centers]).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_cosine_topk_matches_numpy(spark, vectors):
+    from kgx.extras.similarity import cosine_topk
+
+    df, vecs = vectors
+    queries = df.filter(F.col("vec_id") < 2).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = cosine_topk(df, queries, k=3)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    sims = vecs @ vecs[:2].T  # (100, 2)
+    for q in (0, 1):
+        expect = list(np.argsort(-sims[:, q])[:3])
+        gotq = [v for _, v in sorted(by_q[q])]
+        assert gotq == expect, (q, gotq, expect)
+
+
+def test_lsh_cosine_recall(spark, vectors):
+    from kgx.extras.similarity import cosine_topk, lsh_cosine_topk
+
+    df, _ = vectors
+    queries = df.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(df, queries, k=3).collect()}
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_cosine_topk(df, queries, dim=16, k=3, n_tables=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.66, recall  # self-match alone gives 1/3; buckets must add signal
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def test_language_id_and_quality(spark):
+    from kgx.extras.textstats import language_id, quality_scores, token_counts
+
+    rows = [
+        (0, "the cat and the dog sat in the garden for an hour"),
+        (1, "der Hund und die Katze sind nicht ein Problem für uns"),
+        (2, "el perro y la casa es un lugar que está en la ciudad"),
+        (3, "!!! ??? ## 12345 (((...)))"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert langs[0] == "en" and langs[1] == "de" and langs[2] == "es"
+    assert langs[3] == "unknown"
+
+    q = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert 0.0 <= q[0]["quality_score"] <= 1.0
+    assert q[0]["alpha_ratio"] > q[3]["alpha_ratio"]
+
+    t = {r["doc_id"]: r for r in token_counts(df).collect()}
+    assert t[0]["n_ws_tokens"] == len(rows[0][1].split())
+    assert t[0]["n_bpe_pieces"] >= t[0]["n_ws_tokens"]
+
+
+def test_fingerprint_invariance(spark):
+    from kgx.extras.textstats import fingerprint
+
+    rows = [
+        (0, "alpha beta   gamma"),
+        (1, "ALPHA beta gamma"),  # case -> same fp_sha after lower+normalize
+        (2, "gamma beta alpha"),  # reorder -> same fp_sim, different fp_sha
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in fingerprint(df).collect()}
+    assert got[0]["fp_sha"] == got[1]["fp_sha"]
+    assert got[0]["fp_sim"] == got[2]["fp_sim"]
+    assert got[0]["fp_sha"] != got[2]["fp_sha"]
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def test_multimodal_features_deterministic(spark):
+    from kgx.extras.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, 30)
+    feats = extract_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 30
+    assert all(r["ok"] for r in rows.values())
+    assert all(len(r["feature"]) == 16 for r in rows.values())
+    # deterministic: same payload -> same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert all(again[i] == rows[i]["feature"] for i in rows)

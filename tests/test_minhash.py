@@ -39,20 +39,35 @@ def test_identical_strings_share_all_bands(a, b):
         assert ba == bb
 
 
-def test_edit_distance_one_shares_a_band():
-    """The recall case the banding exists for: misspellings of names."""
+def test_edit_distance_one_caught_by_band_or_del1():
+    """Fuzzy-candidate recall contract: every edit-distance-1 misspelling
+    shares a minhash band (r=4, long names) OR a deletion-neighborhood
+    signature (short names — deterministic)."""
+    from kgx.link.symdel import del1_variants
+
     pairs = [
         ("ethanol", "ethnol"),
         ("ethanol", "ethannol"),
         ("pentanoic acid", "pentaoic acid"),
         ("2,3-dimethylbutan-1-ol", "2,3-dimethylbutan-1ol"),
         ("caffeine", "cafeine"),
+        ("trimethylhexanamine", "trimethylhexanamin"),
     ]
     for a, b in pairs:
         ba = band_hashes(signature(shingle_hashes(a)))
         bb = band_hashes(signature(shingle_hashes(b)))
-        shared = sum(1 for x, y in zip(ba, bb) if x == y)
-        assert shared >= 1, (a, b)
+        band_hit = any(x == y for x, y in zip(ba, bb))
+        del_hit = bool(set(del1_variants(a)) & set(del1_variants(b)))
+        assert band_hit or del_hit, (a, b)
+
+
+def test_del1_variants_cover_ed1_edits():
+    from kgx.link.symdel import del1_variants
+
+    base = "ethanol"
+    for other in ("ethanl", "ethanool", "ethxnol", "etahnol"):
+        # deletion / duplication / substitution / adjacent transposition
+        assert set(del1_variants(base)) & set(del1_variants(other)), other
 
 
 def test_unrelated_strings_share_no_band():

@@ -1,0 +1,83 @@
+"""Structured Streaming increments (SURVEY §2 J1–J5) driven synchronously
+with availableNow + memory/parquet sinks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgx.io.dictionary import detection_index
+from kgx.streaming.incremental import (
+    dedup_late_files,
+    incremental_extract,
+    read_corpus_stream,
+    session_ingest_windows,
+    windowed_ingest_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_stream_dir(tiny, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    # two "arrival batches" of the tiny corpus
+    sf = tiny["source_files"]
+    a, b = sf.randomSplit([0.5, 0.5], seed=42)
+    a.write.mode("overwrite").parquet(str(d / "batch"))
+    b.write.mode("append").parquet(str(d / "batch"))
+    return str(d / "batch")
+
+
+def test_incremental_extract_matches_batch(spark, tiny, corpus_stream_dir, tmp_path):
+    from kgx.io.source import with_file_identity
+    from kgx.stages.detect import detect_mentions
+    from kgx.stages.link import link_entities
+
+    bc = spark.sparkContext.broadcast(detection_index(tiny["compound_dict"].toPandas()))
+    stream = read_corpus_stream(spark, corpus_stream_dir, max_files=4)
+    out_dir, ckpt = str(tmp_path / "links"), str(tmp_path / "ckpt")
+    q = incremental_extract(stream, tiny["compound_dict"], bc, out_dir, ckpt).start()
+    q.awaitTermination(timeout=300)
+
+    got = spark.read.parquet(out_dir)
+    # batch reference over the same (all-versions) corpus
+    batch_links = link_entities(
+        detect_mentions(with_file_identity(tiny["source_files"]), bc).localCheckpoint(),
+        tiny["compound_dict"],
+    )
+    assert got.count() == batch_links.count()
+    assert got.select("mention_id", "compound_id").exceptAll(
+        batch_links.select("mention_id", "compound_id")
+    ).count() == 0
+
+
+def test_streaming_dedup_and_windows(spark, tiny, corpus_stream_dir):
+    stream = read_corpus_stream(spark, corpus_stream_dir, max_files=64)
+
+    deduped = dedup_late_files(stream)
+    q = (
+        deduped.select("file_key", "commit")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = spark.sql("SELECT * FROM dedup_out")
+    assert got.count() == got.dropDuplicates(["file_key", "commit"]).count()
+    assert got.count() == tiny["source_files"].count()  # no true dups in src
+
+    for maker, name in (
+        (lambda s: windowed_ingest_metrics(s, "5 minutes"), "win_out"),
+        (lambda s: session_ingest_windows(s), "sess_out"),
+    ):
+        agg = maker(read_corpus_stream(spark, corpus_stream_dir, max_files=64))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+        assert spark.sql(f"SELECT SUM(n_files) AS n FROM {name}").collect()[0]["n"] == tiny[
+            "source_files"
+        ].count()
