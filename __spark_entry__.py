@@ -534,6 +534,79 @@ def q_dedup_minhash_docs(spark, sf_dir):  # rows-only: near-dup clusters
     )
 
 
+def q_cube_revenue(spark, sf_dir):  # E6: cube (all grouping sets)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+def q_pivot_status(spark, sf_dir):  # pivot (conditional aggregation)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    )
+
+
+def q_levenshtein_names(spark, sf_dir):  # I1: built-in edit distance
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.levenshtein(F.col("p_name"), F.col("p_type")).alias("name_type_dist"),
+        ).orderBy("p_partkey")
+    )
+
+
+def q_zip_with_dot(spark, sf_dir):  # I5: zip_with + reverse + aggregate
+    em = _t(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with("embedding", F.reverse(F.col("embedding")), lambda a, b: (a * b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return em.select("vec_id", F.round(dot, 4).alias("self_rev_dot")).orderBy("vec_id")
+
+
+def q_regexp_extract_numbers(spark, sf_dir):  # I1: regexp_extract_all
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(r"\d+"), 0)).cast("long").alias("n_numbers"),
+        ).orderBy("doc_id")
+    )
+
+
+def q_percentiles(spark, sf_dir):  # exact percentile agg
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+    ).orderBy("o_orderpriority")
+
+
+def q_date_arith(spark, sf_dir):  # I3: date arithmetic
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.to_date(F.date_add(F.col("o_orderdate"), 30)).cast("string").alias("due_date"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        ).orderBy("o_orderkey")
+    )
+
+
 def q_multimodal_features(spark, sf_dir):  # rows-only: binary-column plumbing
     from kgx.extras.multimodal import extract_features, synthesize_media
 
@@ -594,6 +667,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "dedup_minhash_docs": q_dedup_minhash_docs,
         "multimodal_features": q_multimodal_features,
+        "cube_revenue": q_cube_revenue,
+        "pivot_status": q_pivot_status,
+        "levenshtein_names": q_levenshtein_names,
+        "zip_with_dot": q_zip_with_dot,
+        "regexp_extract_numbers": q_regexp_extract_numbers,
+        "percentiles": q_percentiles,
+        "date_arith": q_date_arith,
     }
 
 
@@ -863,4 +943,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         # dedup_minhash_docs / multimodal_features: no SQL oracle (LSH
         # banding + binary payloads) -> rows-only checks + pytest goldens
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS revenue
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "pivot_status": """
+            SELECT l_returnflag,
+                   ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE), 2) AS qty_f,
+                   ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE), 2) AS qty_o
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "levenshtein_names": """
+            SELECT p_partkey, CAST(LEVENSHTEIN(p_name, p_type) AS INT) AS name_type_dist
+            FROM part ORDER BY p_partkey
+        """,
+        "zip_with_dot": """
+            SELECT vec_id,
+                   ROUND(CAST(LIST_SUM(LIST_TRANSFORM(
+                       LIST_ZIP(embedding, LIST_REVERSE(embedding)),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS DOUBLE), 4)
+                   AS self_rev_dot
+            FROM embeddings ORDER BY vec_id
+        """,
+        "regexp_extract_numbers": r"""
+            SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL(text, '\d+')) AS BIGINT) AS n_numbers
+            FROM documents ORDER BY doc_id
+        """,
+        "percentiles": """
+            SELECT o_orderpriority,
+                   ROUND(CAST(QUANTILE_CONT(o_totalprice, 0.5) AS DOUBLE), 2) AS p50,
+                   ROUND(CAST(QUANTILE_CONT(o_totalprice, 0.9) AS DOUBLE), 2) AS p90
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "date_arith": """
+            SELECT o_orderkey,
+                   CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+                   CAST(YEAR(o_orderdate) AS INT) AS yr,
+                   CAST(MONTH(o_orderdate) AS INT) AS mo
+            FROM orders ORDER BY o_orderkey
+        """,
     }
