@@ -22,13 +22,53 @@ values after sorting columns by name.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+_REPO = "/root/repo"
+if _REPO not in sys.path:  # kgx importable regardless of the caller's cwd
+    sys.path.insert(0, _REPO)
+
 FIXTURE_BASE = "/root/repo/tests/fixtures"
 _PIPE_CACHE: dict = {}
+_SHIPPED: set = set()
+
+
+def _ship_kgx(spark: SparkSession) -> None:
+    """Make kgx importable inside Spark's PYTHON WORKERS regardless of the
+    driver process's cwd: driver-side sys.path does NOT propagate to
+    workers, so UDF closures referencing kgx would fail to unpickle there.
+    addPyFile ships a zip once per SparkContext."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.mkdtemp(prefix="kgx_ship_"), "kgx.zip")
+    pkg_root = os.path.join(_REPO, "kgx")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(key)
+
+
+def _shipped(fn: Callable) -> Callable:
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_kgx(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,6 +83,7 @@ def _fixture_dir(scale: str = "tiny") -> str:
 
 def _pipeline_outputs(spark: SparkSession, scale: str = "tiny") -> dict:
     """Run (once per session) the kgx pipeline on the synthesized corpus."""
+    _ship_kgx(spark)
     key = (id(spark), scale)
     if key not in _PIPE_CACHE:
         from kgx.pipeline import PipelineConfig, run_pipeline
@@ -624,7 +665,7 @@ def q_multimodal_features(spark, sf_dir):  # rows-only: binary-column plumbing
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    qs = {
         "scan_filter_project": q_scan_filter_project,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_broadcast_dim": q_join_broadcast_dim,
@@ -675,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "date_arith": q_date_arith,
     }
+    # every callable ships kgx to the python workers first (cwd-independent)
+    return {name: _shipped(fn) for name, fn in qs.items()}
 
 
 def _fx(name: str) -> str:
