@@ -187,6 +187,18 @@ def build_dictionary(n_structures: int, rng: random.Random):
     rows = []
     cid = 0
 
+    used_cas: set[str] = set()
+
+    def _cas(sid: int) -> str | None:
+        if sid % 5 >= 3:  # ~40% of structures carry no CAS number
+            return None
+        c = f"{50 + (sid * 7) % 99950}-{10 + sid % 90}-{sid % 10}"
+        while c in used_cas:
+            sid += 99991
+            c = f"{50 + (sid * 7) % 99950}-{10 + sid % 90}-{sid % 10}"
+        used_cas.add(c)
+        return c
+
     def add_entry(name, name_type, sid, synonyms, abbrev):
         nonlocal cid
         priority = 0 if name_type == "SYSTEMATIC" else 1
@@ -198,7 +210,7 @@ def build_dictionary(n_structures: int, rng: random.Random):
                 "name_type": name_type,
                 "synonyms": synonyms,
                 "formula": _formula(sid, used_formulas),
-                "smiles": _smiles(sid),
+                "cas": _cas(sid) if name_type != "TRIVIAL" or sid % 2 == 0 else None,
                 "inchi": inchi,
                 "inchikey": _inchikey(inchi),
                 "abbrev": abbrev,
@@ -248,10 +260,12 @@ def build_dictionary(n_structures: int, rng: random.Random):
                 used_norms.add(norm_term(alias))
                 add_entry(alias, "TRIVIAL", sid, [], None)
 
-    # every formula surface is also a lookup key
+    # every formula / CAS surface is also a lookup key
     term_norms = set(used_norms)
     for r in rows:
         term_norms.add(norm_term(r["formula"]))
+        if r.get("cas"):
+            term_norms.add(norm_term(r["cas"]))
     return rows, term_norms
 
 
@@ -372,8 +386,10 @@ def build_corpus(dict_rows: list[dict], term_norms: set[str], n_files: int, rng:
                     dv = _dehyphenate(name, vrng, term_norms)
                     if dv is not None:
                         surface, mtype = dv, "SYSTEMATIC"
-                elif choice < 0.34:
+                elif choice < 0.31:
                     surface, mtype = entry["formula"], "FORMULA"
+                elif choice < 0.34 and entry.get("cas"):
+                    surface, mtype = entry["cas"], "IDENTIFIER"
                 elif choice < 0.42 and entry["abbrev"]:
                     # definition line + 1-2 bare usages
                     fb.emit_line_with(
@@ -497,6 +513,7 @@ def generate(scale: str, out_dir: str | Path) -> dict:
                     ("name_type", pa.string()),
                     ("synonyms", pa.list_(pa.string())),
                     ("formula", pa.string()),
+                    ("cas", pa.string()),
                     ("smiles", pa.string()),
                     ("inchi", pa.string()),
                     ("inchikey", pa.string()),

@@ -67,7 +67,18 @@ def term_table(dict_df: DataFrame) -> DataFrame:
         F.lit("FORMULA").alias("mtype"),
         F.lit("formula").alias("kind"),
     )
-    return canonical.unionByName(synonyms).unionByName(formulas)
+    out = canonical.unionByName(synonyms).unionByName(formulas)
+    if "cas" in dict_df.columns:  # older lexicons may predate the column
+        cas = dict_df.filter(F.col("cas").isNotNull()).select(
+            norm_term_col(F.col("cas")).alias("term_norm"),
+            skeleton_col(F.col("cas")).alias("term_skeleton"),
+            F.col("cas").alias("term_raw"),
+            "compound_id",
+            F.lit("IDENTIFIER").alias("mtype"),
+            F.lit("identifier").alias("kind"),
+        )
+        out = out.unionByName(cas)
+    return out
 
 
 def detection_index_from_uri(uri: str) -> dict[str, str]:
@@ -90,6 +101,9 @@ def detection_index(dict_pdf) -> dict[str, str]:
             idx[norm_term(s)] = r.name_type
         if r.formula:
             idx[norm_term(r.formula)] = "FORMULA"
+        cas = getattr(r, "cas", None)  # older lexicons may predate the column
+        if isinstance(cas, str) and cas:
+            idx[norm_term(cas)] = "IDENTIFIER"
     return idx
 
 

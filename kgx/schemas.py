@@ -59,6 +59,7 @@ COMPOUND_DICT = T.StructType(
         T.StructField("name_type", T.StringType(), False),
         T.StructField("synonyms", T.ArrayType(T.StringType()), True),
         T.StructField("formula", T.StringType(), True),
+        T.StructField("cas", T.StringType(), True),  # CAS registry number
         T.StructField("smiles", T.StringType(), True),
         T.StructField("inchi", T.StringType(), True),
         T.StructField("inchikey", T.StringType(), True),

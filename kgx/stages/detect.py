@@ -97,6 +97,21 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
             abbrev_toks.append(i)
             i += 1
             continue
+        if cl.is_cas_like(raw):
+            # CAS registry number (ChemSpot IDENTIFIER); linked exactly via
+            # the lexicon index when known, else an unlinked identifier span
+            out.append(
+                {
+                    "start": s,
+                    "end": e,
+                    "text": raw,
+                    "norm_text": norm_term(raw),
+                    "mtype": "IDENTIFIER",
+                    "defined_as": None,
+                }
+            )
+            i += 1
+            continue
         if cl.is_formula_like(raw):
             out.append(
                 {

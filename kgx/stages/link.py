@@ -143,7 +143,11 @@ def link_entities(mentions: DataFrame, dict_df: DataFrame, enable_fuzzy: bool = 
             )
 
         fuzzy_mentions = s.filter(F.col("compound_id").isNull()).select(*_BASE_COLS)
-        fuzzy_terms = terms.filter(F.col("kind") != "formula").select("term_norm", "compound_id")
+        # names only: formulas and CAS numbers must never fuzzy-match (one
+        # digit of edit distance changes the identity)
+        fuzzy_terms = terms.filter(~F.col("kind").isin("formula", "identifier")).select(
+            "term_norm", "compound_id"
+        )
         ms = with_sigs(
             fuzzy_mentions.select("mention_id", "file_key", "repo", "path", "commit", "norm_text"),
             "norm_text",

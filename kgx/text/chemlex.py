@@ -138,6 +138,14 @@ _DIGIT_RE = re.compile(r"\d")
 # doc-local abbreviation token: 2-6 uppercase letters/digits, starts with letter
 ABBREV_RE = re.compile(r"^[A-Z][A-Z0-9]{1,5}$")
 
+# CAS registry number: 2-7 digits, 2 digits, 1 check digit (ChemSpot's
+# IDENTIFIER type)
+CAS_RE = re.compile(r"^\d{2,7}-\d{2}-\d$")
+
+
+def is_cas_like(token_raw: str) -> bool:
+    return CAS_RE.match(token_raw) is not None
+
 
 def is_systematic_like(token_lower: str) -> bool:
     """True if an (unknown) lowercase token looks like a chemical name —
