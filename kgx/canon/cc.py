@@ -5,8 +5,10 @@ connected-components ... iterative DataFrame self-joins with salted keys").
 Label propagation to the minimum node id, as iterative DataFrame joins:
 
 * node ids are longs — compounds keep ``compound_id``, mentions are offset
-  by 2^40 (schemas.MENTION_NODE_OFFSET), so a component's label is always
-  its smallest *compound* id;
+  by 2^61 (schemas.MENTION_NODE_OFFSET: pmod of the mention hash into
+  [0, 2^61) then +2^61 keeps mention nodes positive and disjoint from
+  compound ids), so a component's label is always its smallest *compound*
+  id;
 * each round: every node takes min(own label, neighbors' labels); the
   edges⋈labels join goes through :func:`kgx.shuffle.salt.hot_cold_join`
   (hot compounds like water/ethanol have millions of mention edges but one
@@ -29,8 +31,12 @@ sandbox scale is property-tested against networkx.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 from kgx.shuffle.salt import hot_cold_join, hot_keys_of
 
@@ -98,5 +104,15 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter with changed > 0 means the labels returned
+        # below are NOT fixed-point component ids — surface it instead of
+        # silently handing back wrong components on pathological graphs.
+        log.warning(
+            "connected_components hit max_iter=%d with %d labels still "
+            "changing; returned component ids are not converged",
+            max_iter,
+            changed,
+        )
 
     return labels.select(F.col("node").alias("node_id"), F.col("label").alias("component_id"))

@@ -211,6 +211,7 @@ def build_dictionary(n_structures: int, rng: random.Random):
                 "synonyms": synonyms,
                 "formula": _formula(sid, used_formulas),
                 "cas": _cas(sid) if name_type != "TRIVIAL" or sid % 2 == 0 else None,
+                "smiles": _smiles(sid),
                 "inchi": inchi,
                 "inchikey": _inchikey(inchi),
                 "abbrev": abbrev,

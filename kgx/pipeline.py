@@ -54,9 +54,14 @@ def build_edges(links: DataFrame, dict_df: DataFrame) -> DataFrame:
     mention_edges = links.select(
         mention_node("mention_id").alias("src"), F.col("compound_id").cast("long").alias("dst")
     )
+    # NULL inchikeys must NOT form a group: Window.partitionBy puts all
+    # NULLs in one partition, which would chain every null-inchikey
+    # compound to a single root and over-merge them into one component
+    # (the pandas oracle's groupby drops NaN groups — mirror that).
     w = Window.partitionBy("inchikey")
     dup_edges = (
-        dict_df.withColumn("__root", F.min("compound_id").over(w))
+        dict_df.filter(F.col("inchikey").isNotNull())
+        .withColumn("__root", F.min("compound_id").over(w))
         .filter(F.col("compound_id") != F.col("__root"))
         .select(F.col("compound_id").cast("long").alias("src"), F.col("__root").cast("long").alias("dst"))
     )
@@ -66,55 +71,77 @@ def build_edges(links: DataFrame, dict_df: DataFrame) -> DataFrame:
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
     """Returns the stage outputs {mentions, links, components, rep_map,
     triples}; writes triples when cfg.out_uri is set."""
-    from kgx.io.checkpoint import stage_checkpoint
+    from kgx.io.checkpoint import committed_output, is_committed, stage_checkpoint
+
+    def resumed(stage: str) -> bool:
+        return cfg.run_dir is not None and is_committed(cfg, stage)
 
     dict_df = load_dict(spark, cfg.dict_uri, fmt=cfg.table_format)
-    if cfg.table_format == "parquet":
-        index = detection_index_from_uri(cfg.dict_uri)
+
+    # Resume must skip CONSTRUCTING a committed stage, not just its write:
+    # link_entities eagerly localCheckpoints its join and
+    # connected_components eagerly runs its whole iterative loop, so
+    # building-then-discarding would re-execute all the expensive work the
+    # checkpoint exists to avoid.
+    if resumed("mentions"):
+        mentions = committed_output(spark, cfg, "mentions")
     else:
-        index = detection_index(dict_df.toPandas())
-    index_bc = spark.sparkContext.broadcast(index)
+        if cfg.table_format == "parquet":
+            index = detection_index_from_uri(cfg.dict_uri)
+        else:
+            index = detection_index(dict_df.toPandas())
+        index_bc = spark.sparkContext.broadcast(index)
 
-    # Content shuffles exactly ONCE (the spec-mandated repartition on
-    # sha256(repo,path)).  Version dedup happens AFTER detection on
-    # mention-sized rows: detecting the ~10% stale versions costs far less
-    # than a second full-content shuffle for a window — at 100 TB the
-    # difference is the job.
-    files = repartition_corpus(
-        scan_source_files(spark, cfg.source_uri, fmt=cfg.table_format),
-        cfg.num_partitions,
-    )
+        # Content shuffles exactly ONCE (the spec-mandated repartition on
+        # sha256(repo,path)).  Version dedup happens AFTER detection on
+        # mention-sized rows: detecting the ~10% stale versions costs far
+        # less than a second full-content shuffle for a window — at 100 TB
+        # the difference is the job.
+        files = repartition_corpus(
+            scan_source_files(spark, cfg.source_uri, fmt=cfg.table_format),
+            cfg.num_partitions,
+        )
 
-    # Stage boundaries are always materialized: either durably (run_dir ->
-    # parquet checkpoint + lineage) or in-session (localCheckpoint).  The
-    # link cascade fans out into several join branches over `mentions`, and
-    # the CC loop runs actions every round — without materialization each
-    # of those re-executes the detection UDF over the whole corpus.
-    latest = latest_commit_map(spark, cfg.source_uri, fmt=cfg.table_format)
-    mentions = detect_mentions(files, index_bc).join(
-        latest, ["repo", "path", "commit"], "left_semi"
-    )
-    mentions = stage_checkpoint(spark, mentions, "mentions", cfg)
-    if cfg.run_dir is None:
-        mentions = mentions.localCheckpoint()
+        # Stage boundaries are always materialized: either durably (run_dir
+        # -> parquet checkpoint + lineage) or in-session (localCheckpoint).
+        # The link cascade fans out into several join branches over
+        # `mentions`, and the CC loop runs actions every round — without
+        # materialization each of those re-executes the detection UDF over
+        # the whole corpus.
+        latest = latest_commit_map(spark, cfg.source_uri, fmt=cfg.table_format)
+        mentions = detect_mentions(files, index_bc).join(
+            latest, ["repo", "path", "commit"], "left_semi"
+        )
+        mentions = stage_checkpoint(spark, mentions, "mentions", cfg)
+        if cfg.run_dir is None:
+            mentions = mentions.localCheckpoint()
 
-    links = link_entities(mentions, dict_df, enable_fuzzy=cfg.enable_fuzzy)
-    links = stage_checkpoint(spark, links, "links", cfg)
-    if cfg.run_dir is None:
-        links = links.localCheckpoint()  # consumed by CC loop AND stage 4
+    if resumed("links"):
+        links = committed_output(spark, cfg, "links")
+    else:
+        links = link_entities(mentions, dict_df, enable_fuzzy=cfg.enable_fuzzy)
+        links = stage_checkpoint(spark, links, "links", cfg)
+        if cfg.run_dir is None:
+            links = links.localCheckpoint()  # consumed by CC loop AND stage 4
 
-    edges = build_edges(links, dict_df)
-    components = connected_components(edges, hot_threshold=cfg.cc_hot_threshold)
-    components = stage_checkpoint(
-        spark,
-        components.select(F.col("node_id"), F.col("component_id")),
-        "components",
-        cfg,
-    )
+    if resumed("components"):
+        components = committed_output(spark, cfg, "components")
+    else:
+        edges = build_edges(links, dict_df)
+        components = connected_components(edges, hot_threshold=cfg.cc_hot_threshold)
+        components = stage_checkpoint(
+            spark,
+            components.select(F.col("node_id"), F.col("component_id")),
+            "components",
+            cfg,
+        )
 
     rep_map = compound_rep_map(components, dict_df)
-    triples = materialize_triples(links, rep_map, dict_df)
-    triples = stage_checkpoint(spark, triples, "triples", cfg)
+    if resumed("triples"):
+        triples = committed_output(spark, cfg, "triples")
+    else:
+        triples = materialize_triples(links, rep_map, dict_df)
+        triples = stage_checkpoint(spark, triples, "triples", cfg)
 
     if cfg.out_uri is not None:
         write_triples(triples, cfg.out_uri, fmt=cfg.table_format)
