@@ -417,9 +417,18 @@ def q_dedup_exact(spark, sf_dir):  # extras: exact dedup by content hash
     )
 
 
-def q_approx_distinct(spark, sf_dir):  # E3: HLL sketch (rows-only check)
+def q_approx_distinct(spark, sf_dir):  # E3: HLL sketch with a ±5% bound oracle
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("__approx"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "exact_parts",
+        (
+            F.abs(F.col("__approx") - F.col("exact_parts"))
+            <= F.col("exact_parts") * F.lit(0.05)
+        ).alias("within_5pct"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -448,6 +457,16 @@ def q_kg_triples_by_pred(spark, sf_dir):
 def q_kg_triples_full(spark, sf_dir):
     t = _pipeline_outputs(spark)["triples"]
     return t.select("subj", "pred", "obj").orderBy("subj", "pred", "obj")
+
+
+def q_kg_synonyms_agg(spark, sf_dir):  # E4: collect_set + array_sort synonym fan-in
+    t = _pipeline_outputs(spark)["triples"]
+    return (
+        t.filter(F.col("pred") == "synonymOf")
+        .groupBy(F.col("obj").alias("rep"))
+        .agg(F.array_join(F.array_sort(F.collect_set("subj")), "|").alias("synonyms"))
+        .orderBy("rep")
+    )
 
 
 def q_kg_top_compounds_by_repo_spread(spark, sf_dir):
@@ -495,7 +514,7 @@ def q_ann_cosine_topk(spark, sf_dir):  # exact brute-force ANN baseline
     ).orderBy("query_id", "rank")
 
 
-def q_ann_lsh_recall(spark, sf_dir):  # rows-only: LSH path vs exact overlap
+def q_ann_lsh_recall(spark, sf_dir):  # LSH recall@5 >= 0.6 per query (value oracle)
     from kgx.extras.similarity import cosine_topk, lsh_cosine_topk
 
     em = _t(spark, sf_dir, "embeddings")
@@ -505,11 +524,14 @@ def q_ann_lsh_recall(spark, sf_dir):  # rows-only: LSH path vs exact overlap
     dim = len(em.select("embedding").first()["embedding"])
     exact = cosine_topk(em, queries_df, k=5).select("query_id", "vec_id")
     approx = lsh_cosine_topk(em, queries_df, dim=dim, k=5, n_tables=8).select(
-        "query_id", "vec_id"
+        "query_id", "vec_id", F.lit(1).alias("__hit")
     )
-    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    # left join keeps queries even at zero hits (a left_semi would silently
+    # drop them and fake a row-count match failure into a pass)
     return (
-        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("recall_at_5"))
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg((F.sum(F.coalesce("__hit", F.lit(0))) >= F.lit(3)).alias("recall_ok"))
         .orderBy("query_id")
     )
 
@@ -563,15 +585,35 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(d).select("doc_id", "fp_sha").orderBy("doc_id")
 
 
-def q_dedup_minhash_docs(spark, sf_dir):  # rows-only: near-dup clusters
+def q_dedup_minhash_docs(spark, sf_dir):  # planted near+exact dups (value oracle)
     from kgx.extras.dedup import minhash_dedup
 
-    d = _t(spark, sf_dir, "documents").limit(500)
-    clusters = minhash_dedup(d, "text", "doc_id", jaccard_threshold=0.8)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select("doc_id", "text")
+    # plant one NEAR duplicate (tiny tail edit, Jaccard ≈ 0.97) per 25th doc
+    # and one EXACT duplicate per (25th+13) doc; the oracle-checkable
+    # invariant is that every planted doc lands in its source's cluster,
+    # regardless of the organic near-dup structure of the corpus
+    near = d.filter((F.col("doc_id") % 25) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" q")).alias("text"),
+    )
+    exact = d.filter((F.col("doc_id") % 25) == 13).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    clusters = minhash_dedup(
+        d.unionByName(near).unionByName(exact), "text", "doc_id", jaccard_threshold=0.8
+    )
+    src_of = F.when(F.col("doc_id") >= 200000, F.col("doc_id") - 200000).otherwise(
+        F.col("doc_id") - 100000
+    )
+    planted = clusters.filter(F.col("doc_id") >= 100000).select(
+        "doc_id", src_of.alias("__src"), F.col("cluster_id").alias("__pc")
+    )
+    srcs = clusters.select(F.col("doc_id").alias("__src"), F.col("cluster_id").alias("__sc"))
     return (
-        clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
-        .groupBy("size").agg(F.count(F.lit(1)).alias("n_clusters"))
-        .orderBy("size")
+        planted.join(srcs, "__src")
+        .select("doc_id", (F.col("__pc") == F.col("__sc")).alias("same_cluster"))
+        .orderBy("doc_id")
     )
 
 
@@ -697,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_spans": q_kg_mention_spans,
         "kg_triples_by_pred": q_kg_triples_by_pred,
         "kg_triples_full": q_kg_triples_full,
+        "kg_synonyms_agg": q_kg_synonyms_agg,
         "kg_top_compounds_by_repo_spread": q_kg_top_compounds_by_repo_spread,
         "kg_sha_invariant": q_kg_sha_invariant,
         "kg_links_by_method": q_kg_links_by_method,
@@ -883,7 +926,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(DISTINCT SHA256(text)) AS n_unique_docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
-        # approx_distinct: no oracle (sketch) -> rows-only check
+        # approx_distinct: the HLL estimate itself is a sketch, so the
+        # checkable contract is the ±5% bound against the exact count
+        "approx_distinct": """
+            SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
+            FROM lineitem
+        """,
         "kg_mentions_by_type": f"""
             SELECT mtype, COUNT(*) AS n FROM {golden_mentions}
             GROUP BY mtype ORDER BY mtype
@@ -907,7 +955,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, commit, content_sha FROM {manifest}
             ORDER BY repo, path, commit
         """,
-        # kg_links_by_method: no oracle (method labels are pipeline-internal)
+        "kg_links_by_method": f"""
+            SELECT method, COUNT(*) AS n FROM {_fx("golden_links")}
+            GROUP BY method ORDER BY method
+        """,
+        "kg_synonyms_agg": f"""
+            SELECT obj AS rep,
+                   ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT subj)), '|') AS synonyms
+            FROM {_fx("golden_triples")} WHERE pred = 'synonymOf'
+            GROUP BY obj ORDER BY rep
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 3),
@@ -923,7 +980,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
-        # ann_lsh_recall: no oracle (LSH bucket structure is not SQL)
+        # ann_lsh_recall: the bucket structure is not SQL, but the recall
+        # floor (>= 3 of 5 exact neighbors recovered, per query) is
+        "ann_lsh_recall": """
+            SELECT vec_id AS query_id, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+        """,
         "text_token_counts": r"""
             SELECT lang,
                    CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS BIGINT)
@@ -984,8 +1046,20 @@ def oracle_sql() -> dict[str, str]:
                    SHA256(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp_sha
             FROM documents ORDER BY doc_id
         """,
-        # dedup_minhash_docs / multimodal_features: no SQL oracle (LSH
-        # banding + binary payloads) -> rows-only checks + pytest goldens
+        # dedup_minhash_docs: LSH clustering is not SQL, but the planted
+        # invariant — every planted near/exact duplicate clusters with its
+        # source doc — is
+        "dedup_minhash_docs": """
+            SELECT doc_id + 100000 AS doc_id, TRUE AS same_cluster
+            FROM documents WHERE doc_id < 500 AND doc_id % 25 = 0
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, TRUE AS same_cluster
+            FROM documents WHERE doc_id < 500 AND doc_id % 25 = 13
+            ORDER BY doc_id
+        """,
+        # multimodal_features: stays rows-only — the sandbox ships no real
+        # codecs, so only the deterministic-fake plumbing is checkable
+        # (pytest pins it); a SQL oracle would assert nothing real
         "cube_revenue": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS revenue

@@ -82,16 +82,23 @@ def _signature_udf(dim: int, n_tables: int, seed: int = 42):
     rs = np.random.RandomState(seed)
     planes = rs.normal(size=(n_tables, _HYPERPLANE_BITS, dim)).astype(np.float64)
 
+    weights = 1 << np.arange(_HYPERPLANE_BITS)
+
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def sig(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        # one einsum for the whole Arrow batch, not one per row
+        mat = np.zeros((n, dim), dtype=np.float64)
+        for i, v in enumerate(vecs):  # ragged -> dense copy only
             a = np.asarray(v, dtype=np.float64)
             if a.shape[0] != dim:
                 a = np.resize(a, dim)
-            bits = (np.einsum("tbd,d->tb", planes, a) > 0).astype(np.int64)
-            out.append([int((row * (1 << np.arange(_HYPERPLANE_BITS))).sum()) for row in bits])
-        return pd.Series(out)
+            mat[i] = a
+        bits = np.einsum("tbd,nd->ntb", planes, mat) > 0  # (n, tables, bits)
+        buckets = (bits * weights).sum(axis=2).astype(np.int64)  # (n, tables)
+        return pd.Series(buckets.tolist())
 
     return sig
 
@@ -102,6 +109,7 @@ def lsh_cosine_topk(
     dim: int,
     k: int = 5,
     n_tables: int = 8,
+    multiprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
@@ -109,7 +117,12 @@ def lsh_cosine_topk(
     """Approximate top-k via random-hyperplane buckets + exact rerank.
 
     Candidate generation is an equi-join on (table_id, bucket); recall
-    grows with n_tables.  Returns the same schema as :func:`cosine_topk`.
+    grows with n_tables.  ``multiprobe=1`` additionally probes every
+    Hamming-1 neighbor of each QUERY bucket (9 probes/table instead of 1)
+    — the standard multi-probe LSH trick: recall of more tables at the
+    memory/shuffle cost of none, since the probe fan-out lives entirely on
+    the broadcast-sized query side while the N-row vector side still emits
+    one row per table.  Returns the same schema as :func:`cosine_topk`.
     """
     sig = _signature_udf(dim, n_tables)
 
@@ -121,6 +134,12 @@ def lsh_cosine_topk(
 
     vb = bucketed(vectors.select(id_col, vec_col), id_col, vec_col)
     qb = bucketed(queries.select(query_id_col, F.col(vec_col).alias("__qv")), query_id_col, "__qv")
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(_HYPERPLANE_BITS)],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
 
     cand = (
         vb.join(F.broadcast(qb), ["table_id", "bucket"])

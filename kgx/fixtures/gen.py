@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from kgx.fixtures.oracle import derive_golden_triples
+from kgx.fixtures.oracle import derive_golden_links, derive_golden_triples
 from kgx.text import chemlex as cl
 from kgx.text.normalize import norm_term
 
@@ -494,6 +494,7 @@ def generate(scale: str, out_dir: str | Path) -> dict:
     golden_pdf = pd.DataFrame(goldens)
     golden_pdf["compound_id"] = golden_pdf["compound_id"].astype("Int64")
     triples_pdf = derive_golden_triples(golden_pdf, dict_pdf)
+    links_pdf = derive_golden_links(golden_pdf, dict_pdf)
 
     def write(name: str, pdf: pd.DataFrame, schema: pa.schema | None = None):
         tbl = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
@@ -540,6 +541,20 @@ def generate(scale: str, out_dir: str | Path) -> dict:
             ),
         ),
         "golden_triples": write("golden_triples", triples_pdf),
+        "golden_links": write(
+            "golden_links",
+            links_pdf,
+            pa.schema(
+                [
+                    ("repo", pa.string()),
+                    ("path", pa.string()),
+                    ("commit", pa.string()),
+                    ("start", pa.int32()),
+                    ("end", pa.int32()),
+                    ("method", pa.string()),
+                ]
+            ),
+        ),
         "manifest": write("manifest", pd.DataFrame(manifest)),
     }
 
@@ -556,10 +571,25 @@ def generate(scale: str, out_dir: str | Path) -> dict:
     return meta
 
 
+_TABLES = (
+    "source_files",
+    "compound_dict",
+    "golden_mentions",
+    "golden_triples",
+    "golden_links",
+    "manifest",
+)
+
+
 def ensure(scale: str, base: str | Path = "/root/repo/tests/fixtures") -> Path:
-    """Generate-if-missing; returns the fixture directory."""
+    """Generate-if-missing; returns the fixture directory.  A fixture dir
+    from an older generator version (any expected table absent) is
+    regenerated wholesale — partial staleness must never survive."""
     out = Path(base) / scale
-    if not (out / "manifest.json").exists():
+    complete = (out / "manifest.json").exists() and all(
+        (out / f"{t}.parquet").exists() for t in _TABLES
+    )
+    if not complete:
         generate(scale, out)
     return out
 

@@ -43,6 +43,85 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
+def derive_golden_links(
+    golden_mentions: pd.DataFrame, compound_dict: pd.DataFrame
+) -> pd.DataFrame:
+    """Expected LINK rows (span + method) per golden mention — an
+    independent pandas mirror of the 5-step linking cascade
+    (kgx.stages.link: exact > systematic > synonym > abbrev > fuzzy, with
+    the exact/synonym broadcast join consulted FIRST, systematic-skeleton
+    only for unmatched SYSTEMATIC mentions, fuzzy only for those that also
+    miss the skeleton).  Mentions no method resolves yield no row —
+    mirroring the pipeline, which drops unresolved mentions.
+
+    Hard negatives (compound_id == null goldens) ARE included when a
+    method fires on their surface: the pipeline links them too — that is
+    exactly the precision cost they exist to charge.
+    """
+    from kgx.text.normalize import levenshtein, norm_term, skeleton
+
+    # term map, mirroring link._unique_terms: one (compound, kind) per
+    # normalized surface, minimum (compound_id, kind) wins
+    entries: list[tuple[str, int, str]] = []
+    for r in compound_dict.itertuples(index=False):
+        cid = int(r.compound_id)
+        entries.append((norm_term(r.canonical_name), cid, "canonical"))
+        for s in r.synonyms if r.synonyms is not None else []:
+            entries.append((norm_term(s), cid, "synonym"))
+        if isinstance(r.formula, str) and r.formula:
+            entries.append((norm_term(r.formula), cid, "formula"))
+        cas = getattr(r, "cas", None)
+        if isinstance(cas, str) and cas:
+            entries.append((norm_term(cas), cid, "identifier"))
+    term_map: dict[str, tuple[int, str]] = {}
+    for norm, cid, kind in sorted(entries, key=lambda e: (e[0], e[1], e[2])):
+        term_map.setdefault(norm, (cid, kind))
+
+    # skeleton index: SYSTEMATIC-mtype surfaces only (canonical + synonyms
+    # of systematic compounds carry name_type SYSTEMATIC)
+    skel_set: set[str] = set()
+    for r in compound_dict.itertuples(index=False):
+        if r.name_type != "SYSTEMATIC":
+            continue
+        skel_set.add(skeleton(r.canonical_name))
+        for s in r.synonyms if r.synonyms is not None else []:
+            skel_set.add(skeleton(s))
+
+    # fuzzy gate mirror: any non-formula/identifier surface within lev ≤ 2
+    fuzzy_surfaces = sorted(
+        {norm for norm, _cid, kind in entries if kind not in ("formula", "identifier")}
+    )
+
+    def fuzzy_hits(norm: str) -> bool:
+        from kgx.link.rerank import MAX_LEV
+
+        return any(
+            abs(len(norm) - len(t)) <= MAX_LEV and levenshtein(norm, t, cap=MAX_LEV) <= MAX_LEV
+            for t in fuzzy_surfaces
+        )
+
+    rows = []
+    for r in golden_mentions.itertuples(index=False):
+        norm = norm_term(r.text)
+        if r.mtype == "ABBREVIATION":
+            method = "abbrev"  # defined_as long form is planted in-lexicon
+        elif norm in term_map:
+            method = "synonym" if term_map[norm][1] == "synonym" else "exact"
+        elif r.mtype == "SYSTEMATIC" and skeleton(norm) in skel_set:
+            method = "systematic"
+        elif r.mtype == "SYSTEMATIC" and fuzzy_hits(norm):
+            method = "fuzzy"
+        else:
+            continue  # unresolved: the pipeline emits no link row
+        rows.append((r.repo, r.path, r.commit, int(r.start), int(r.end), method))
+
+    return (
+        pd.DataFrame(rows, columns=["repo", "path", "commit", "start", "end", "method"])
+        .sort_values(["repo", "path", "commit", "start", "end"])
+        .reset_index(drop=True)
+    )
+
+
 def derive_golden_triples(
     golden_mentions: pd.DataFrame, compound_dict: pd.DataFrame
 ) -> pd.DataFrame:

@@ -43,33 +43,64 @@ DETECT_SCHEMA = (
 )
 
 _WS = (" ", "\t")
+_WS_SET = frozenset(_WS)
+
+# cache of {id(index): (strong ref, first tokens of multi-token terms)} —
+# one dictionary per worker process in practice, so the strong ref pins at
+# most a handful of already-broadcast objects
+_MULTI_FIRST_CACHE: dict[int, tuple[dict, frozenset]] = {}
+
+
+def _multi_first(index: dict[str, str]) -> frozenset:
+    """First tokens of multi-token lexicon terms: the n-gram (k>1) probe is
+    worth attempting only at these positions.  Most corpus tokens are not
+    in this set, so the greedy matcher does ONE dict lookup per token
+    instead of MAX_TERM_TOKENS joins+lookups."""
+    cached = _MULTI_FIRST_CACHE.get(id(index))
+    if cached is not None and cached[0] is index:
+        return cached[1]
+    firsts = frozenset(k.split(" ", 1)[0] for k in index if " " in k)
+    _MULTI_FIRST_CACHE[id(index)] = (index, firsts)
+    return firsts
 
 
 def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
     """Pure-python kernel over one document; unit-testable without Spark."""
     tokens = tokenize_with_spans(text)
     n = len(tokens)
-    norms = [norm_term(t[2]) for t in tokens]
+    # tokens from TOKEN_RE can't start/end with ,-' nor contain separator
+    # runs, so norm_term(tok) == tok.lower() — property-tested in
+    # tests/test_normalize.py; skips a regex split per token
+    norms = [t[2].lower() for t in tokens]
+    multi_first = _multi_first(index)
+    # gap_ws[j]: tokens j and j+1 are separated by ≥1 space/tab only
+    # (precomputed once — the old per-(i,k) set() rebuild was the kernel's
+    # single hottest line)
+    gap_ws = [
+        tokens[j][1] < tokens[j + 1][0]
+        and not text[tokens[j][1] : tokens[j + 1][0]].strip(" \t")
+        for j in range(n - 1)
+    ]
     out: list[dict] = []
     dict_spans: list[tuple[int, int, str]] = []  # (start, end, norm) of lexicon hits
     abbrev_toks: list[int] = []
+    index_get = index.get
 
     i = 0
     while i < n:
         matched = False
-        # greedy leftmost-longest lexicon match
-        for k in range(min(MAX_TERM_TOKENS, n - i), 0, -1):
+        # greedy leftmost-longest lexicon match; k>1 only where a
+        # multi-token term can possibly start
+        kmax = min(MAX_TERM_TOKENS, n - i) if norms[i] in multi_first else 1
+        for k in range(kmax, 0, -1):
             if k > 1:
                 # n-gram tokens must be separated by spaces/tabs only
-                gap_ok = all(
-                    set(text[tokens[j][1] : tokens[j + 1][0]]) <= set(_WS)
-                    and tokens[j][1] < tokens[j + 1][0]
-                    for j in range(i, i + k - 1)
-                )
-                if not gap_ok:
+                if not all(gap_ws[j] for j in range(i, i + k - 1)):
                     continue
-            cand = " ".join(norms[i : i + k])
-            mtype = index.get(cand)
+                cand = " ".join(norms[i : i + k])
+            else:
+                cand = norms[i]
+            mtype = index_get(cand)
             if mtype is not None:
                 s, e = tokens[i][0], tokens[i + k - 1][1]
                 out.append(
@@ -90,14 +121,18 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
             continue
 
         s, e, raw = tokens[i]
-        low = raw.lower()
-        if cl.is_abbrev_like(raw):
+        low = norms[i]
+        # first-char dispatch: abbrev/formula need an uppercase start, CAS a
+        # digit — most tokens are lowercase and skip straight to the
+        # systematic gate without touching those regexes
+        c0 = raw[0]
+        if "A" <= c0 <= "Z" and cl.is_abbrev_like(raw):
             # candidate abbreviation; resolved in pass 2 (doc-local defs),
             # with a fuzzy-systematic fallback in pass 3 for unbound ones
             abbrev_toks.append(i)
             i += 1
             continue
-        if cl.is_cas_like(raw):
+        if "0" <= c0 <= "9" and cl.is_cas_like(raw):
             # CAS registry number (ChemSpot IDENTIFIER); linked exactly via
             # the lexicon index when known, else an unlinked identifier span
             out.append(
@@ -105,20 +140,20 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
                     "start": s,
                     "end": e,
                     "text": raw,
-                    "norm_text": norm_term(raw),
+                    "norm_text": low,
                     "mtype": "IDENTIFIER",
                     "defined_as": None,
                 }
             )
             i += 1
             continue
-        if cl.is_formula_like(raw):
+        if "A" <= c0 <= "Z" and cl.is_formula_like(raw):
             out.append(
                 {
                     "start": s,
                     "end": e,
                     "text": raw,
-                    "norm_text": norm_term(raw),
+                    "norm_text": low,
                     "mtype": "FORMULA",
                     "defined_as": None,
                 }
@@ -128,17 +163,12 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
         if cl.is_systematic_like(low):
             # "-oic acid" continuation: a systematic-looking token followed
             # by space-adjacent "acid" is one two-token mention
-            if (
-                i + 1 < n
-                and norms[i + 1] == "acid"
-                and tokens[i][1] < tokens[i + 1][0]
-                and set(text[tokens[i][1] : tokens[i + 1][0]]) <= set(_WS)
-            ):
+            if i + 1 < n and norms[i + 1] == "acid" and gap_ws[i]:
                 e = tokens[i + 1][1]
-                nrm = f"{norm_term(raw)} acid"
+                nrm = f"{low} acid"
                 i += 2
             else:
-                nrm = norm_term(raw)
+                nrm = low
                 i += 1
             out.append(
                 {
@@ -181,7 +211,7 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
                     "start": s,
                     "end": e,
                     "text": raw,
-                    "norm_text": norm_term(raw),
+                    "norm_text": raw.lower(),
                     "mtype": "ABBREVIATION",
                     "defined_as": long_norm,
                 }
@@ -192,7 +222,7 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
                     "start": s,
                     "end": e,
                     "text": raw,
-                    "norm_text": norm_term(raw),
+                    "norm_text": raw.lower(),
                     "mtype": "SYSTEMATIC",
                     "defined_as": None,
                 }

@@ -12,6 +12,7 @@ construction.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 # --- morpheme grammar (used to BUILD systematic names and to RECOGNIZE
 # systematic-looking tokens) ------------------------------------------------
@@ -150,7 +151,13 @@ def is_cas_like(token_raw: str) -> bool:
 def is_systematic_like(token_lower: str) -> bool:
     """True if an (unknown) lowercase token looks like a chemical name —
     the fuzzy-candidate gate. Shared by generator (which only corrupts
-    names that stay recognizable) and detector."""
+    names that stay recognizable) and detector.  lru-cached: corpus tokens
+    repeat heavily, so in the detection hot loop this is a dict hit."""
+    return _is_systematic_like(token_lower)
+
+
+@lru_cache(maxsize=1 << 16)
+def _is_systematic_like(token_lower: str) -> bool:
     return (
         len(token_lower) >= 6
         and _SUFFIX_RE.search(token_lower) is not None

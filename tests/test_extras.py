@@ -42,6 +42,116 @@ def test_minhash_dedup_clusters_near_dups(spark):
     assert out[5] not in (out[0], out[3])
 
 
+def test_minhash_dedup_matches_allpairs_reference(spark):
+    """The star-edge plan (O(m) edges/bucket) must produce the same clusters
+    as the round-1 all-pairs-within-bucket plan on realistic inputs."""
+    from kgx.canon.cc import connected_components
+    from kgx.extras.dedup import minhash_dedup
+    from kgx.link.minhash import fuzzy_jaccard, minhash_bands_udf
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def allpairs_reference(df, text_col, id_col, jaccard_threshold=0.7):
+        # verbatim round-1 shape: band self-join with id<id, pairwise verify
+        ids = df.select(F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__text"))
+        bands = ids.withColumn("__bands", minhash_bands_udf(F.col("__text"))).select(
+            "__id", "__text", F.posexplode("__bands").alias("band_id", "band_hash")
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.band_id") == F.col("b.band_id"),
+                    F.col("a.band_hash") == F.col("b.band_hash"),
+                    F.col("a.__id") < F.col("b.__id"),
+                ],
+            )
+            .select(
+                F.col("a.__id").alias("src"),
+                F.col("b.__id").alias("dst"),
+                F.col("a.__text").alias("__ta"),
+                F.col("b.__text").alias("__tb"),
+            )
+            .dropDuplicates(["src", "dst"])
+        )
+
+        @F.pandas_udf(T.DoubleType())
+        def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+            return pd.Series([fuzzy_jaccard(x or "", y or "") for x, y in zip(ta, tb)])
+
+        verified = (
+            pairs.withColumn("__j", _jac("__ta", "__tb"))
+            .filter(F.col("__j") >= jaccard_threshold)
+            .select("src", "dst")
+        )
+        comps = connected_components(verified)
+        clusters = comps.select(
+            F.col("node_id").alias("__id"), F.col("component_id").alias("cluster_id")
+        )
+        return (
+            ids.select("__id")
+            .join(clusters, "__id", "left")
+            .select(
+                F.col("__id").alias(id_col),
+                F.coalesce("cluster_id", F.col("__id")).alias("cluster_id"),
+            )
+        )
+
+    # planted clusters of several sizes + exact dups + unrelated docs
+    words = "spark shuffle partition join window filter agg scan batch stream".split()
+    rng = np.random.RandomState(3)
+    rows, did = [], 0
+    for c in range(8):
+        base = " ".join(rng.choice(words, size=30))
+        for v in range(c % 4 + 1):  # cluster sizes 1..4
+            t = base if v == 0 else base + f" tail{v}"
+            rows.append((did, t))
+            did += 1
+        rows.append((did, base))  # exact dup of the base
+        did += 1
+    new = {r["doc_id"]: r["cluster_id"]
+           for r in minhash_dedup(spark.createDataFrame(rows, "doc_id long, text string"), "text", "doc_id").collect()}
+    old = {r["doc_id"]: r["cluster_id"]
+           for r in allpairs_reference(spark.createDataFrame(rows, "doc_id long, text string"), "text", "doc_id").collect()}
+    assert new == old
+
+
+def test_simhash_batch_matches_rowwise_reference():
+    """batch_simhash (numpy bit matrix) == the per-row round-1 kernel,
+    including empty strings at the start / middle / end of a batch."""
+    import zlib
+
+    from kgx.extras.dedup import batch_simhash
+
+    def one(s: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (s or "").lower().split():
+            h = zlib.crc32(tok.encode("utf-8"))
+            h = (h << 32) | zlib.crc32(tok[::-1].encode("utf-8"))
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    texts = [
+        "",
+        "the quick brown fox",
+        "",
+        "one",
+        "spark shuffle partition join window " * 20,
+        "MIXED Case Tokens Here",
+        "",
+    ]
+    got = batch_simhash(texts)
+    assert got.tolist() == [one(t) for t in texts]
+    assert batch_simhash([]).tolist() == []
+    assert batch_simhash(["", ""]).tolist() == [0, 0]
+
+
 def test_simhash_dedup_pairs(spark):
     from kgx.extras.dedup import simhash_dedup
 
@@ -92,6 +202,24 @@ def test_lsh_cosine_recall(spark, vectors):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.66, recall  # self-match alone gives 1/3; buckets must add signal
+
+
+def test_lsh_signature_batch_matches_rowwise_reference(spark, vectors):
+    """The batched einsum signature == the per-row round-1 computation."""
+    from kgx.extras.similarity import _HYPERPLANE_BITS, _signature_udf
+
+    df, vecs = vectors
+    sig = _signature_udf(dim=16, n_tables=4)
+    got = {
+        r["vec_id"]: r["s"]
+        for r in df.select("vec_id", sig(F.col("embedding")).alias("s")).collect()
+    }
+    rs = np.random.RandomState(42)
+    planes = rs.normal(size=(4, _HYPERPLANE_BITS, 16)).astype(np.float64)
+    for i, v in enumerate(vecs):
+        bits = (np.einsum("tbd,d->tb", planes, v.astype(np.float64)) > 0).astype(np.int64)
+        expect = [int((row * (1 << np.arange(_HYPERPLANE_BITS))).sum()) for row in bits]
+        assert got[i] == expect, i
 
 
 # --- text analysis -----------------------------------------------------------

@@ -72,6 +72,15 @@ def test_golden_triples_cover_all_predicates(fresh_tiny):
     )
 
 
+def test_golden_links_cover_all_methods(fresh_tiny):
+    # the link-method oracle (driver query kg_links_by_method) is only a
+    # real check if every cascade method occurs in the fixture
+    out, _ = fresh_tiny
+    tbl = pq.read_table(out / "golden_links.parquet", columns=["method"])
+    methods = set(tbl.column("method").to_pylist())
+    assert methods == {"exact", "synonym", "systematic", "abbrev", "fuzzy"}, methods
+
+
 def test_generation_is_deterministic(fresh_tiny, tmp_path):
     # Same seed, same scale → byte-identical golden sha (the resume protocol
     # and the driver's value-hash oracle both depend on this).

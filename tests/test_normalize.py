@@ -63,3 +63,13 @@ def test_jaccard_bounds():
     assert jaccard(set(), set()) == 1.0
     assert jaccard({"ab"}, set()) == 0.0
     assert jaccard(shingles("ethanol"), shingles("ethanol")) == 1.0
+
+
+@given(texts)
+@settings(max_examples=200)
+def test_token_norm_is_plain_lowercase(text):
+    """The detect kernel's fast path (kgx.stages.detect) relies on
+    norm_term(tok) == tok.lower() for every token TOKEN_RE can produce:
+    tokens never start/end with ,-' nor contain separator runs."""
+    for _, _, tok in tokenize_with_spans(text):
+        assert norm_term(tok) == tok.lower()

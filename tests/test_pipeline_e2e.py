@@ -24,6 +24,14 @@ def test_pr_gate(outputs, tiny):
     pr = precision_recall(outputs["triples"], tiny["golden_triples"])
     assert pr["precision"] >= 0.95, pr
     assert pr["recall"] >= 0.95, pr
+    # the spec floor holds PER PREDICATE too — an aggregate 0.95 must not
+    # hide one collapsed predicate behind four perfect ones
+    rows = {r["pred"]: r for r in per_predicate(outputs["triples"], tiny["golden_triples"]).collect()}
+    for pred, r in rows.items():
+        prec = r["tp"] / (r["tp"] + r["fp"]) if (r["tp"] + r["fp"]) else 0.0
+        rec = r["tp"] / (r["tp"] + r["fn"]) if (r["tp"] + r["fn"]) else 0.0
+        assert prec >= 0.95, (pred, r)
+        assert rec >= 0.95, (pred, r)
 
 
 def test_per_predicate_complete(outputs, tiny):
