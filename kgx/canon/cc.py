@@ -1,32 +1,26 @@
-"""Stage 3 — connected components over the mention↔compound bipartite graph
-(SURVEY §2 D9; BASELINE.json:L6 stage (3) "canonicalization via
-connected-components ... iterative DataFrame self-joins with salted keys").
+"""General distributed connected components (SURVEY §2 D9; BASELINE.json:L6
+stage (3) "canonicalization via connected-components ... iterative DataFrame
+self-joins with salted keys").
 
 Label propagation to the minimum node id, as iterative DataFrame joins:
 
-* node ids are longs — compounds keep ``compound_id``, mentions are offset
-  by 2^61 (schemas.MENTION_NODE_OFFSET: pmod of the mention hash into
-  [0, 2^61) then +2^61 keeps mention nodes positive and disjoint from
-  compound ids), so a component's label is always its smallest *compound*
-  id;
 * each round: every node takes min(own label, neighbors' labels); the
   edges⋈labels join goes through :func:`kgx.shuffle.salt.hot_cold_join`
-  (hot compounds like water/ethanol have millions of mention edges but one
-  label row — the broadcast-hot/shuffle-cold split defeats that skew, with
-  AQE skew-join enabled as the backstop);
+  (a hot node — e.g. the bucket root of a giant near-dup cluster in
+  kgx.extras.dedup — has millions of edges but one label row; the
+  broadcast-hot/shuffle-cold split defeats that skew, with AQE skew-join
+  enabled as the backstop);
 * ``localCheckpoint`` after every round truncates the exploding lineage —
   without it the logical plan doubles per iteration (SURVEY §4);
 * convergence = zero labels changed (an agg, not exceptAll — SURVEY §2 H2).
 
-Bipartite mention↔compound graphs have tiny diameter (a mention links one
-compound; compounds connect via shared-structure lexicon edges), so rounds
-≈ 2–4.  ``max_iter`` guards pathological inputs.
-
-Scale note: at 10^12 mentions the 64-bit hashed mention node ids admit
-birthday collisions; a collision can only over-merge if the two colliding
-mentions link different compounds.  The production remedy (tracked for a
-later round) is 128-bit node ids via struct labels; correctness at every
-sandbox scale is property-tested against networkx.
+Consumers: the KG canonicalization stage (kgx.pipeline — compound↔compound
+shared-structure STAR edges, so node ids are exact dictionary compound_ids,
+the graph diameter is 1, and the loop converges in one round at lexicon —
+not corpus — scale) and corpus near-dup dedup (kgx.extras.dedup — doc-id
+nodes over band star edges; here the iterative machinery earns its keep).
+``max_iter`` guards pathological inputs; correctness at every sandbox scale
+is property-tested against networkx, including hot-star graphs.
 """
 
 from __future__ import annotations

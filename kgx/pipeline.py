@@ -27,7 +27,6 @@ from kgx.canon.cc import connected_components
 from kgx.canon.elect import compound_rep_map
 from kgx.io.dictionary import detection_index, detection_index_from_uri, load_dict
 from kgx.io.source import latest_commit_map, repartition_corpus, scan_source_files
-from kgx.schemas import mention_node
 from kgx.stages.detect import detect_mentions
 from kgx.stages.link import link_entities
 from kgx.stages.materialize import materialize_triples, write_triples
@@ -46,26 +45,35 @@ class PipelineConfig:
     cc_hot_threshold: int = 50_000
 
 
-def build_edges(links: DataFrame, dict_df: DataFrame) -> DataFrame:
-    """Bipartite edge list for canonicalization: mention->compound link
-    edges ∪ compound->compound shared-structure (same InChIKey) edges."""
+def build_edges(dict_df: DataFrame) -> DataFrame:
+    """Canonicalization edge list: compound->compound shared-structure
+    (same InChIKey) edges.
+
+    Mentions are deliberately NOT nodes.  Every mention carries exactly one
+    link (the stage-2 top-1 window), so in the bipartite mention↔compound
+    graph a mention is a degree-1 leaf — it can never merge two compounds,
+    and its component is always its compound's component.  Dropping the
+    10^12 mention rows from the iterative CC therefore changes nothing
+    semantically while making canonicalization cost a function of the
+    LEXICON size, not the corpus size — and it removes hashed node ids from
+    the graph entirely, so the 64-bit birthday-collision over-merge risk at
+    10^12 mentions (tracked in round 1) is eliminated by construction:
+    every CC node is an exact dictionary compound_id.
+
+    NULL inchikeys must NOT form a group: Window.partitionBy puts all NULLs
+    in one partition, which would chain every null-inchikey compound to a
+    single root and over-merge them into one component (the pandas oracle's
+    groupby drops NaN groups — mirror that).
+    """
     from pyspark.sql import Window
 
-    mention_edges = links.select(
-        mention_node("mention_id").alias("src"), F.col("compound_id").cast("long").alias("dst")
-    )
-    # NULL inchikeys must NOT form a group: Window.partitionBy puts all
-    # NULLs in one partition, which would chain every null-inchikey
-    # compound to a single root and over-merge them into one component
-    # (the pandas oracle's groupby drops NaN groups — mirror that).
     w = Window.partitionBy("inchikey")
-    dup_edges = (
+    return (
         dict_df.filter(F.col("inchikey").isNotNull())
         .withColumn("__root", F.min("compound_id").over(w))
         .filter(F.col("compound_id") != F.col("__root"))
         .select(F.col("compound_id").cast("long").alias("src"), F.col("__root").cast("long").alias("dst"))
     )
-    return mention_edges.unionByName(dup_edges)
 
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
@@ -122,12 +130,14 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
         links = link_entities(mentions, dict_df, enable_fuzzy=cfg.enable_fuzzy)
         links = stage_checkpoint(spark, links, "links", cfg)
         if cfg.run_dir is None:
-            links = links.localCheckpoint()  # consumed by CC loop AND stage 4
+            # stage 4 fans out into several triple projections over links;
+            # materialize once so each branch reads memory, not the cascade
+            links = links.localCheckpoint()
 
     if resumed("components"):
         components = committed_output(spark, cfg, "components")
     else:
-        edges = build_edges(links, dict_df)
+        edges = build_edges(dict_df)
         components = connected_components(edges, hot_threshold=cfg.cc_hot_threshold)
         components = stage_checkpoint(
             spark,

@@ -152,18 +152,8 @@ GOLDEN_MENTIONS = T.StructType(
     ]
 )
 
-# Node-id encoding for the bipartite CC graph (SURVEY §2 D9): compounds keep
-# their (non-negative, small) id; mentions map into [2^61, 2^62) so every
-# mention node is positive and strictly greater than every compound node —
-# min-label propagation therefore always converges to the component's
-# smallest COMPOUND id.  (xxhash64 mention ids span the full signed range,
-# hence the pmod.)
-MENTION_NODE_OFFSET = 1 << 61
-
-
-def mention_node(mention_id_col):
-    from pyspark.sql import functions as F
-
-    return (
-        F.pmod(F.col(mention_id_col), F.lit(MENTION_NODE_OFFSET)) + F.lit(MENTION_NODE_OFFSET)
-    ).cast("long")
+# NOTE on CC node identity (SURVEY §2 D9): the canonicalization graph
+# contains ONLY dictionary compound_ids (exact small longs) — mentions are
+# degree-1 leaves that cannot merge components and are excluded from the
+# graph (kgx.pipeline.build_edges).  There are therefore no hashed node ids
+# in pipeline CC and no birthday-collision risk at any corpus scale.
