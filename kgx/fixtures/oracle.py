@@ -87,18 +87,37 @@ def derive_golden_links(
         for s in r.synonyms if r.synonyms is not None else []:
             skel_set.add(skeleton(s))
 
-    # fuzzy gate mirror: any non-formula/identifier surface within lev ≤ 2
+    # fuzzy gate mirror: the pipeline's deterministic candidate channel is
+    # the deletion-1 neighborhood (kgx.link.symdel) — two strings share a
+    # del≤1 signature iff they are ≤1 deletion-apart on each side, which
+    # covers every ≤1-edit corruption the generator plants.  An O(|surfaces|)
+    # levenshtein scan per mention would be O(10^10) at the scaling corpus;
+    # the signature index is O(len) lookups per DISTINCT surface instead.
+    from kgx.link.rerank import MAX_LEV
+
     fuzzy_surfaces = sorted(
         {norm for norm, _cid, kind in entries if kind not in ("formula", "identifier")}
     )
+    sig_to_terms: dict[str, list[str]] = {}
+    for t in fuzzy_surfaces:
+        for sig in {t, *(t[:i] + t[i + 1 :] for i in range(len(t)))}:
+            sig_to_terms.setdefault(sig, []).append(t)
+
+    fuzzy_memo: dict[str, bool] = {}
 
     def fuzzy_hits(norm: str) -> bool:
-        from kgx.link.rerank import MAX_LEV
-
-        return any(
+        hit = fuzzy_memo.get(norm)
+        if hit is not None:
+            return hit
+        cands: set[str] = set()
+        for sig in {norm, *(norm[:i] + norm[i + 1 :] for i in range(len(norm)))}:
+            cands.update(sig_to_terms.get(sig, ()))
+        hit = any(
             abs(len(norm) - len(t)) <= MAX_LEV and levenshtein(norm, t, cap=MAX_LEV) <= MAX_LEV
-            for t in fuzzy_surfaces
+            for t in cands
         )
+        fuzzy_memo[norm] = hit
+        return hit
 
     rows = []
     for r in golden_mentions.itertuples(index=False):
