@@ -1,10 +1,13 @@
 """Scaling-gate evidence runner (BASELINE.md protocol; north_rule's N->4N
-criterion evidenced in-sandbox as parallelism levels on one host).
+criterion evidenced in-sandbox as executor counts on one host).
 
-Runs the full pipeline at local[2] / local[8] / local[32] in fresh JVMs,
+Runs the full pipeline at local-cluster[N,2,12288] for N in {1,2,4,8}
+executors — real separate executor JVMs, fixed 2-core/12g shape, only the
+COUNT varies (the rule's "N and 4N executors") — in fresh JVM trees,
 ``repeats`` times each, interleaved round-robin (so drift in machine state
 spreads across widths instead of biasing one), and prints per-width medians
-plus eff(N->4N) median and max-min spread.
+plus eff(N->4N) median and max-min spread for the 1->4 (primary gate) and
+2->8 (secondary, host-ceiling-limited) pairs.
 
 Usage: python bench/scaling_protocol.py [repeats=3] [scale=scaling]
 """
@@ -37,7 +40,12 @@ n = out["triples"].count()
 print(json.dumps({"wall_sec": round(time.monotonic() - t0, 2), "triples": n}))
 """
 
-WIDTHS = ("local[2]", "local[8]", "local[32]")
+WIDTHS = (
+    "local-cluster[1,2,12288]",
+    "local-cluster[2,2,12288]",
+    "local-cluster[4,2,12288]",
+    "local-cluster[8,2,12288]",
+)
 
 
 def run_once(master: str, fixture_dir: str) -> dict:
@@ -72,22 +80,28 @@ def main() -> int:
             )
 
     med = {w: statistics.median(v) for w, v in walls.items()}
-    effs_28 = sorted(a / b / 4 for a, b in zip(walls["local[2]"], walls["local[8]"]))
-    effs_832 = sorted(a / b / 4 for a, b in zip(walls["local[8]"], walls["local[32]"]))
+    effs_14 = sorted(
+        a / b / 4
+        for a, b in zip(walls["local-cluster[1,2,12288]"], walls["local-cluster[4,2,12288]"])
+    )
+    effs_28 = sorted(
+        a / b / 4
+        for a, b in zip(walls["local-cluster[2,2,12288]"], walls["local-cluster[8,2,12288]"])
+    )
     report = {
         "scale": scale,
         "repeats": repeats,
         "wall_sec": walls,
         "median_wall_sec": med,
-        "eff_2_to_8": {
+        "eff_exec_1_to_4": {
+            "per_rep": [round(e, 3) for e in effs_14],
+            "median": round(statistics.median(effs_14), 3),
+            "spread": round(effs_14[-1] - effs_14[0], 3),
+        },
+        "eff_exec_2_to_8": {
             "per_rep": [round(e, 3) for e in effs_28],
             "median": round(statistics.median(effs_28), 3),
             "spread": round(effs_28[-1] - effs_28[0], 3),
-        },
-        "eff_8_to_32": {
-            "per_rep": [round(e, 3) for e in effs_832],
-            "median": round(statistics.median(effs_832), 3),
-            "spread": round(effs_832[-1] - effs_832[0], 3),
         },
     }
     print(json.dumps(report, indent=2))

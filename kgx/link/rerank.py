@@ -2,13 +2,21 @@
 (SURVEY §2 C3; BASELINE.json:L6 "exact-score rerank inside pandas UDF
 batches").
 
-Input: (mention, candidate-term) pairs from the minhash-band join.  Groups
-are formed by a *pseudo-bucket* — ``pmod(xxhash64(mention_id), n_buckets)``
-— not by mention_id (billions of tiny groups) and not by band bucket (a pair
-can appear in several bands; dedup happens before grouping).  Every pair of
-one mention lands in one group, so per-mention decisions are local to the
-group, and bucket count bounds group size for Arrow memory (SURVEY §7
-hard-part 5).
+Input: DISTINCT (surface, term) candidate pairs from the signature join —
+NOT mention-level rows.  Scoring cost is per distinct string pair, and the
+same corrupted surface recurs across thousands of mentions (hot compounds'
+misspellings dominate a zipf corpus), so deduplicating FIRST makes the
+Python volume a function of vocabulary, not corpus.  It also fixes a
+measured skew: bucketing mention-level pairs by mention hash landed the
+distinct-pair-dense (cache-miss) work in a few buckets — 0.8s median vs
+11s max per equal-row bucket on the 2.4M-file corpus — while pair-hash
+buckets over distinct pairs are uniform by construction (every row costs
+one levenshtein + one jaccard, no cache-hit lottery).
+
+Groups are formed by ``pmod(xxhash64(surface, term), n_buckets)``; the
+accepted output (surface → compound, score) is broadcast-joined back to
+mention rows by the caller (kgx.stages.link), so mentions never shuffle
+for fuzzy scoring at all.
 
 Score = 0.4 · exact mixed-shingle Jaccard + 0.6 · (1 − levenshtein/maxlen),
 gated by lev ≤ 2 (edit-distance envelope of the lexicon's deliberate
@@ -27,10 +35,7 @@ from pyspark.sql import functions as F
 from kgx.link.minhash import fuzzy_jaccard
 from kgx.text.normalize import levenshtein
 
-RERANK_SCHEMA = (
-    "mention_id long, file_key string, repo string, path string, commit string, "
-    "compound_id long, score double, method string"
-)
+PAIR_SCORE_SCHEMA = "norm_text string, compound_id long, score double, method string"
 
 # Designed recall envelope: insert/delete/duplicate corruptions at edit
 # distance ≤ 2 (the lexicon's misspelling model).  Adjacent transpositions on
@@ -50,38 +55,39 @@ def _pair_score(a: str, b: str) -> tuple[int, float]:
     return lev, score
 
 
-def _rerank_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    cols = ["mention_id", "file_key", "repo", "path", "commit", "compound_id", "score", "method"]
+def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = ["norm_text", "compound_id", "score", "method"]
     if pdf.empty:
         return pdf.iloc[0:0].assign(score=0.0, method="")[cols]
-    # many mentions share a surface form: score each distinct string pair once
-    cache: dict[tuple[str, str], tuple[int, float]] = {}
     levs, scores = [], []
     for a, b in zip(pdf["norm_text"], pdf["term_norm"]):
-        key = (a, b)
-        got = cache.get(key)
-        if got is None:
-            got = cache[key] = _pair_score(a, b)
-        levs.append(got[0])
-        scores.append(got[1])
+        lev, score = _pair_score(a, b)
+        levs.append(lev)
+        scores.append(score)
     out = pdf.assign(__lev=levs, score=scores, method="fuzzy")
     out = out[(out["__lev"] <= MAX_LEV) & (out["score"] >= FUZZY_SCALE * MIN_SCORE)]
+    # one row per (surface, compound): several terms of one compound may
+    # match the surface — keep the best score (deterministic max)
+    out = out.sort_values(["norm_text", "compound_id", "score"]).drop_duplicates(
+        ["norm_text", "compound_id"], keep="last"
+    )
     return out[cols]
 
 
-def rerank(candidates: DataFrame, n_buckets: int | None = None) -> DataFrame:
-    """candidates: mention_id, file_key, repo, path, commit, norm_text,
-    compound_id, term_norm  ->  scored fuzzy link rows.
+def rerank(pairs: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """pairs: DISTINCT (norm_text, term_norm, compound_id) candidate rows
+    -> accepted (norm_text, compound_id, score, method='fuzzy').
 
     n_buckets defaults to 2× the session's shuffle parallelism — enough
-    groups to spread work, coarse enough that groups aren't per-mention.
+    groups to spread the Python scoring, coarse enough that groups aren't
+    per-pair.
     """
     if n_buckets is None:
         n_buckets = 2 * int(
-            candidates.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    bucketed = candidates.withColumn(
-        "__bucket", F.pmod(F.xxhash64("mention_id"), F.lit(n_buckets))
+    bucketed = pairs.withColumn(
+        "__bucket", F.pmod(F.xxhash64("norm_text", "term_norm"), F.lit(n_buckets))
     )
     # explicit numbered repartition: AQE's byte-based coalescing would fuse
     # this shuffle down to a handful of partitions (the rows are narrow) and
@@ -89,5 +95,5 @@ def rerank(candidates: DataFrame, n_buckets: int | None = None) -> DataFrame:
     # not bytes.  groupBy on the same key then reuses this exchange.
     bucketed = bucketed.repartition(n_buckets, "__bucket")
     return bucketed.groupBy("__bucket").applyInPandas(
-        lambda pdf: _rerank_group(pdf), RERANK_SCHEMA
+        lambda pdf: _score_group(pdf), PAIR_SCORE_SCHEMA
     )

@@ -29,7 +29,18 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        if master.startswith("local-cluster"):
+            # local-cluster[N, cores, mem]: total cores = N * cores
+            parts = [int(x) for x in n.split(",")[:2]]
+            shuffle_partitions = max(8, parts[0] * parts[1])
+        else:
+            shuffle_partitions = 32 if n == "*" else max(8, int(n))
+
+    # local-cluster[N, cores, mem_mb]: real separate executor JVMs on one
+    # host — the faithful in-sandbox proxy for "N vs 4N executors" (each
+    # executor owns its heap/GC/python workers, so per-executor behavior is
+    # width-invariant; only cross-executor coordination varies)
+    is_local_cluster = master.startswith("local-cluster")
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -49,13 +60,25 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # local mode = driver-only: the heap must hold 32 concurrent task
         # buffers + localCheckpoint blocks; 16g measured 535s of GC thrash
-        # (3× task-time inflation) on the 2.4M-file corpus at local[32]
-        .config("spark.driver.memory", os.environ.get("KGX_DRIVER_MEM", "48g"))
+        # (3× task-time inflation) on the 2.4M-file corpus at local[32],
+        # and 48g still left 148s of task GC at local[8] (vs 10s at
+        # local[2]) — 96g halves local[8] wall on the scaling corpus
+        .config(
+            "spark.driver.memory",
+            os.environ.get("KGX_DRIVER_MEM", "8g" if is_local_cluster else "96g"),
+        )
         # throughput collector: G1's pause-time targeting churns on this
         # allocation-heavy batch workload (1324s GC vs ~400s Parallel at 32
         # threads on the 2.4M-file corpus)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
+    if is_local_cluster:
+        b = b.config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # executor python workers spawn in executor work dirs, not the repo
+        # cwd — ship the package path explicitly (same role as
+        # spark-submit --py-files in jobs/run_pipeline.py)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        b = b.config("spark.executorEnv.PYTHONPATH", repo_root)
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

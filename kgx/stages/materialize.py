@@ -16,9 +16,12 @@ paper oracle (kgx/fixtures/oracle.py).
 
 Plan shape: links ⋈ broadcast(compound→rep map) — the map has lexicon
 cardinality, broadcastable by the same argument as the dictionary — then
-per-predicate projections + dropDuplicates.  The expensive distinct on the
-``mentions``/``foundInRepo`` predicates shuffles on (subj, obj) AFTER
-projection, so content-sized columns are long gone (SURVEY §2 B1).
+per-predicate dropDuplicates on COMPACT precursor keys ((repo, path,
+commit, rep_id) / (rep_id, repo)) with the URI string concat applied only
+to the deduped survivors: the distinct shuffle carries small columns
+instead of built URI strings (a measured GC hot spot — 66s of the
+local[8] run's GC was the string-keyed distinct at the 2.4M-file corpus),
+and a downstream count() prunes the concat away entirely.
 """
 
 from __future__ import annotations
@@ -40,14 +43,20 @@ def materialize_triples(links: DataFrame, rep_map: DataFrame, dict_df: DataFrame
     )
     cpd = lambda c: F.concat(F.lit("cpd:"), F.col(c).cast("string"))  # noqa: E731
 
+    # dedup on the compact natural keys, THEN build URI strings: (repo,
+    # path, commit) <-> doc uri and rep_id <-> cpd uri are bijective, so
+    # the result set is identical while the distinct shuffle never carries
+    # a concatenated string
     mentions_t = (
-        linked.select(_doc_uri().alias("subj"), F.lit("mentions").alias("pred"), cpd("rep_id").alias("obj"))
-        .dropDuplicates(["subj", "obj"])
+        linked.select("repo", "path", "commit", "rep_id")
+        .dropDuplicates(["repo", "path", "commit", "rep_id"])
+        .select(_doc_uri().alias("subj"), F.lit("mentions").alias("pred"), cpd("rep_id").alias("obj"))
     )
     found_t = (
-        linked.select(cpd("rep_id").alias("subj"), F.lit("foundInRepo").alias("pred"),
-                      F.concat(F.lit("repo:"), F.col("repo")).alias("obj"))
-        .dropDuplicates(["subj", "obj"])
+        linked.select("rep_id", "repo")
+        .dropDuplicates(["rep_id", "repo"])
+        .select(cpd("rep_id").alias("subj"), F.lit("foundInRepo").alias("pred"),
+                F.concat(F.lit("repo:"), F.col("repo")).alias("obj"))
     )
 
     mentioned_comps = linked.select("component_id").distinct()
