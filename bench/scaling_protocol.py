@@ -1,15 +1,18 @@
 """Scaling-gate evidence runner (BASELINE.md protocol; north_rule's N->4N
 criterion evidenced in-sandbox as executor counts on one host).
 
-Runs the full pipeline at local-cluster[N,2,12288] for N in {1,2,4,8}
-executors — real separate executor JVMs, fixed 2-core/12g shape, only the
-COUNT varies (the rule's "N and 4N executors") — in fresh JVM trees,
-``repeats`` times each, interleaved round-robin (so drift in machine state
-spreads across widths instead of biasing one), and prints per-width medians
-plus eff(N->4N) median and max-min spread for the 1->4 (primary gate) and
-2->8 (secondary, host-ceiling-limited) pairs.
+Gate pair: local-cluster[1,2,12288] vs local-cluster[4,2,12288] — real
+separate executor JVMs, fixed 2-core/12g shape, only the COUNT varies
+(the rule's "N and 4N executors").  Each rep runs the pair back-to-back
+with ALTERNATING order (1,4 / 4,1 / ...) so slow host drift — this
+sandbox swings ±20% over tens of minutes — cancels to first order in the
+per-rep efficiency ratio instead of biasing one width.  Reports per-rep
+eff, median, and max-min spread.
 
-Usage: python bench/scaling_protocol.py [repeats=3] [scale=scaling]
+Pass ``--ladder`` to also run the 2- and 8-executor widths once (the
+secondary 2->8 pair is host-ceiling-limited at 16 cores; see BASELINE.md).
+
+Usage: python bench/scaling_protocol.py [repeats=3] [scale=scaling] [--ladder]
 """
 
 from __future__ import annotations
@@ -40,12 +43,9 @@ n = out["triples"].count()
 print(json.dumps({"wall_sec": round(time.monotonic() - t0, 2), "triples": n}))
 """
 
-WIDTHS = (
-    "local-cluster[1,2,12288]",
-    "local-cluster[2,2,12288]",
-    "local-cluster[4,2,12288]",
-    "local-cluster[8,2,12288]",
-)
+W1 = "local-cluster[1,2,12288]"
+W4 = "local-cluster[4,2,12288]"
+LADDER = ("local-cluster[2,2,12288]", "local-cluster[8,2,12288]")
 
 
 def run_once(master: str, fixture_dir: str) -> dict:
@@ -60,50 +60,52 @@ def run_once(master: str, fixture_dir: str) -> dict:
 
 
 def main() -> int:
-    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    scale = sys.argv[2] if len(sys.argv) > 2 else "scaling"
+    args = [a for a in sys.argv[1:] if a != "--ladder"]
+    ladder = "--ladder" in sys.argv[1:]
+    repeats = int(args[0]) if len(args) > 0 else 3
+    scale = args[1] if len(args) > 1 else "scaling"
     from kgx.fixtures.gen import ensure
 
     fixture_dir = str(ensure(scale, "/root/repo/tests/fixtures"))
 
-    walls: dict[str, list[float]] = {w: [] for w in WIDTHS}
+    walls: dict[str, list[float]] = {W1: [], W4: []}
+    effs: list[float] = []
     for rep in range(repeats):
-        for w in WIDTHS:
+        order = (W1, W4) if rep % 2 == 0 else (W4, W1)
+        rep_walls = {}
+        for w in order:
             t0 = time.monotonic()
             r = run_once(w, fixture_dir)
+            rep_walls[w] = r["wall_sec"]
             walls[w].append(r["wall_sec"])
             print(
-                f"rep {rep + 1}/{repeats} {w:10s} wall={r['wall_sec']:8.2f}s "
+                f"rep {rep + 1}/{repeats} {w:26s} wall={r['wall_sec']:8.2f}s "
                 f"triples={r['triples']} (run took {time.monotonic() - t0:.0f}s)",
                 file=sys.stderr,
                 flush=True,
             )
+        effs.append(rep_walls[W1] / rep_walls[W4] / 4)
 
-    med = {w: statistics.median(v) for w, v in walls.items()}
-    effs_14 = sorted(
-        a / b / 4
-        for a, b in zip(walls["local-cluster[1,2,12288]"], walls["local-cluster[4,2,12288]"])
-    )
-    effs_28 = sorted(
-        a / b / 4
-        for a, b in zip(walls["local-cluster[2,2,12288]"], walls["local-cluster[8,2,12288]"])
-    )
     report = {
         "scale": scale,
         "repeats": repeats,
+        "pair": {"N": W1, "4N": W4},
         "wall_sec": walls,
-        "median_wall_sec": med,
+        "median_wall_sec": {w: statistics.median(v) for w, v in walls.items()},
         "eff_exec_1_to_4": {
-            "per_rep": [round(e, 3) for e in effs_14],
-            "median": round(statistics.median(effs_14), 3),
-            "spread": round(effs_14[-1] - effs_14[0], 3),
-        },
-        "eff_exec_2_to_8": {
-            "per_rep": [round(e, 3) for e in effs_28],
-            "median": round(statistics.median(effs_28), 3),
-            "spread": round(effs_28[-1] - effs_28[0], 3),
+            "per_rep": [round(e, 3) for e in effs],
+            "median": round(statistics.median(effs), 3),
+            "spread": round(max(effs) - min(effs), 3),
         },
     }
+    if ladder:
+        report["ladder"] = {w: run_once(w, fixture_dir) for w in LADDER}
+        report["eff_exec_2_to_8"] = round(
+            report["ladder"][LADDER[0]]["wall_sec"]
+            / report["ladder"][LADDER[1]]["wall_sec"]
+            / 4,
+            3,
+        )
     print(json.dumps(report, indent=2))
     return 0
 

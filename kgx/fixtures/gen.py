@@ -46,6 +46,10 @@ SCALES = {
     # (~30 s of broadcast/UDF-stage setup) — the regime where the N→4N
     # efficiency criterion is meaningful
     "scaling": (2400000, 8000),
+    # scaling2: 2× scaling — after the round-2 detect-kernel speedup (5.5×)
+    # the 2.4M corpus left the gate pair floor-dominated again; this keeps
+    # the perfectly-parallel fraction dominant per the same design rule
+    "scaling2": (4800000, 8000),
 }
 
 LANGS = ("python", "java", "c", "go", "rust", "markdown")

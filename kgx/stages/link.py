@@ -182,6 +182,14 @@ def link_entities(mentions: DataFrame, dict_df: DataFrame, enable_fuzzy: bool = 
         links = links.unionByName(fuzzy_links)
 
     # --- top-1 per mention: total order -> deterministic -------------------
+    # explicit numbered repartition feeding the window: link rows are
+    # skinny, so AQE's byte-based coalescing fused this exchange down to 4
+    # partitions and idled half the cluster for the window+materialization
+    # CPU (measured 62% idle on that stage at 4×2-core executors); the
+    # window's required hash distribution on mention_id is satisfied by
+    # this exchange, so no second shuffle is added
+    n_shuffle = int(links.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    links = links.repartition(n_shuffle, "mention_id")
     w = Window.partitionBy("mention_id").orderBy(
         F.col("score").desc(), F.col("method").asc(), F.col("compound_id").asc()
     )
