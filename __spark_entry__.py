@@ -491,7 +491,7 @@ def q_kg_sha_invariant(spark, sf_dir):
     )
 
 
-def q_kg_links_by_method(spark, sf_dir):  # rows-only (method not in golden)
+def q_kg_links_by_method(spark, sf_dir):  # value-oracled vs fixture golden_links
     l = _pipeline_outputs(spark)["links"]
     return l.groupBy("method").agg(F.count(F.lit(1)).alias("n")).orderBy("method")
 
@@ -603,6 +603,38 @@ def q_dedup_minhash_docs(spark, sf_dir):  # planted near+exact dups (value oracl
     clusters = minhash_dedup(
         d.unionByName(near).unionByName(exact), "text", "doc_id", jaccard_threshold=0.8
     )
+    src_of = F.when(F.col("doc_id") >= 200000, F.col("doc_id") - 200000).otherwise(
+        F.col("doc_id") - 100000
+    )
+    planted = clusters.filter(F.col("doc_id") >= 100000).select(
+        "doc_id", src_of.alias("__src"), F.col("cluster_id").alias("__pc")
+    )
+    srcs = clusters.select(F.col("doc_id").alias("__src"), F.col("cluster_id").alias("__sc"))
+    return (
+        planted.join(srcs, "__src")
+        .select("doc_id", (F.col("__pc") == F.col("__sc")).alias("same_cluster"))
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_simhash_docs(spark, sf_dir):  # planted simhash dups (value oracle)
+    from kgx.extras.dedup import simhash_dedup
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select("doc_id", "text")
+    # plant one CASE-variant duplicate (different bytes -> survives the
+    # exact sha pre-pass; identical lowercased tokens -> simhash Hamming 0,
+    # found only through the chunk-band LSH path) per 25th doc, and one
+    # EXACT byte duplicate per (25th+13) doc (collapsed by the pre-pass).
+    # Oracle-checkable invariant: every planted doc lands in its source's
+    # cluster, regardless of the corpus' organic near-dup structure.
+    near = d.filter((F.col("doc_id") % 25) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    exact = d.filter((F.col("doc_id") % 25) == 13).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    clusters = simhash_dedup(d.unionByName(near).unionByName(exact), "text", "doc_id")
     src_of = F.when(F.col("doc_id") >= 200000, F.col("doc_id") - 200000).otherwise(
         F.col("doc_id") - 100000
     )
@@ -750,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "dedup_minhash_docs": q_dedup_minhash_docs,
+        "dedup_simhash_docs": q_dedup_simhash_docs,
         "multimodal_features": q_multimodal_features,
         "cube_revenue": q_cube_revenue,
         "pivot_status": q_pivot_status,
@@ -1057,9 +1090,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 500 AND doc_id % 25 = 13
             ORDER BY doc_id
         """,
-        # multimodal_features: stays rows-only — the sandbox ships no real
-        # codecs, so only the deterministic-fake plumbing is checkable
-        # (pytest pins it); a SQL oracle would assert nothing real
+        # multimodal_features: the fake codecs are deterministic, so the
+        # expected per-kind aggregate is precomputed in pure Python at
+        # fixture-generation time (kgx/fixtures/gen.py
+        # expected_multimodal_features) — the oracle hash-compares the real
+        # mapInPandas/Arrow-binary plumbing end-to-end
+        "multimodal_features": f"""
+            SELECT kind, n, total_bytes, f0_sum
+            FROM {_fx('multimodal_expected')} ORDER BY kind
+        """,
+        # dedup_simhash_docs: same planted-invariant shape as minhash
+        "dedup_simhash_docs": """
+            SELECT doc_id + 100000 AS doc_id, TRUE AS same_cluster
+            FROM documents WHERE doc_id < 500 AND doc_id % 25 = 0
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, TRUE AS same_cluster
+            FROM documents WHERE doc_id < 500 AND doc_id % 25 = 13
+            ORDER BY doc_id
+        """,
         "cube_revenue": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS revenue

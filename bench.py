@@ -128,6 +128,20 @@ def main() -> int:
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
     }
 
+    # Relational suite FIRST, on a fresh JVM with a right-sized heap: the
+    # sf0.1 queries touch ~1 GB, so the pipeline-tuned 96 GB ParallelGC heap
+    # is wrong for them, and running after five heavyweight pipeline
+    # subprocesses measured +28% pure harness-order noise in round 2.
+    spark = get_spark(
+        "kgx-bench-queries",
+        master=f"local[{CPUS}]",
+        extra_conf={"spark.driver.memory": os.environ.get("KGX_QUERY_MEM", "24g")},
+    )
+    t0 = time.monotonic()
+    times = _relational_queries(spark, SF_DIR)
+    report["relational_wall_sec"] = round(time.monotonic() - t0, 2)
+    spark.stop()
+
     pipeline: dict = {"fixture_scale": BENCH_SCALE}
     if not _SKIP_SCALING:
         execs = {
@@ -156,12 +170,8 @@ def main() -> int:
         report["value"] = one["wall_sec"]
     report["pipeline"] = pipeline
 
-    spark = get_spark("kgx-bench-queries", master=f"local[{CPUS}]")
-    t0 = time.monotonic()
-    times = _relational_queries(spark, SF_DIR)
     times["kg_pipeline_e2e"] = report["value"]
     report["queries"] = times
-    report["relational_wall_sec"] = round(time.monotonic() - t0, 2)
 
     print(json.dumps(report))
     return 0

@@ -62,6 +62,7 @@ def connected_components(
 
     from pyspark.sql import Observation
 
+    changed = -1  # sentinel: stays -1 only if max_iter <= 0 (loop never ran)
     for _ in range(max_iter):
         nbr_labels = hot_cold_join(
             adj,

@@ -3,17 +3,19 @@
 * :func:`exact_dedup`    — hash-groupBy on sha256(text): one shuffle on the
   digest (never on the text itself), deterministic representative.
 * :func:`minhash_dedup`  — shingle → minhash → banded LSH → per-bucket
-  STAR edges (member → bucket-min id, O(m) per bucket — never the O(m²)
-  all-pairs join, which goes quadratic on duplicate-heavy corpora like
-  license headers / vendored files) → exact-Jaccard verify → connected
-  components → cluster ids.  Byte-identical docs are collapsed by an
-  exact-dedup pre-pass FIRST, so the minhash stage only ever sees unique
-  texts.  Reuses the entity-linking LSH (kgx.link.minhash) and the
-  canonicalization CC kernel (kgx.canon.cc), so its scale posture
-  (broadcast-hot/shuffle-cold joins, per-round localCheckpoint) is
-  inherited, not re-invented.
+  HYBRID edges (all-pairs inside small buckets for complete recall, STAR
+  member→bucket-min above — never the unconditional O(m²) all-pairs join,
+  which goes quadratic on duplicate-heavy corpora like license headers /
+  vendored files) → exact-Jaccard verify → connected components → cluster
+  ids.  Byte-identical docs are collapsed by an exact-dedup pre-pass FIRST,
+  so the minhash stage only ever sees unique texts.  Reuses the
+  entity-linking LSH (kgx.link.minhash) and the canonicalization CC kernel
+  (kgx.canon.cc), so its scale posture (broadcast-hot/shuffle-cold joins,
+  per-round localCheckpoint) is inherited, not re-invented.
 * :func:`simhash_dedup`  — 64-bit simhash over token hashes; near-dup =
-  Hamming distance ≤ 3 found via 4×16-bit chunk banding (any chunk equal).
+  Hamming distance ≤ 3 found via 4×16-bit chunk banding (any chunk equal,
+  complete by pigeonhole), same hybrid small-all-pairs/star candidate
+  shape, ``bit_count`` XOR verify (pure JVM), CC → cluster ids.
 
 All Python work is Arrow-batched (pandas UDFs); joins/groupBys are JVM.
 """
@@ -27,7 +29,112 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kgx.canon.cc import connected_components
-from kgx.link.minhash import fuzzy_jaccard, minhash_bands_udf
+from kgx.link.minhash import _grams_mixed, minhash_bands_udf
+from kgx.text.normalize import norm_term
+
+# Buckets with at most this many members get complete all-pairs edges;
+# larger buckets fall back to star edges (member -> bucket-min).  8 keeps
+# per-bucket pair volume <= 28 while covering the overwhelmingly common
+# bucket sizes; buckets larger than that are boilerplate-heavy clusters
+# where the root-verify almost always succeeds, so the star recall tail is
+# confined to big buckets of mutually-dissimilar docs (rare by LSH
+# construction: the bucket key IS a similarity hash).
+SMALL_BUCKET = 8
+
+
+def _bucket_edges(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+    """Candidate (src, dst) edges per bucket — all-pairs for buckets of size
+    <= SMALL_BUCKET (complete recall), star-to-min-id above (O(m)/bucket).
+
+    Closes the star-plan recall tail flagged in round 2 (a near-dup pair
+    where neither member roots any shared bucket) for every small bucket,
+    which is where organic pairs live; only degenerate mega-buckets keep
+    the star approximation, bounded by their verify step.
+    """
+    w = Window.partitionBy(*bucket_cols)
+    b = (
+        df.withColumn("__m", F.count(F.lit(1)).over(w))
+        .withColumn("__root", F.min(id_col).over(w))
+    )
+    star = (
+        b.filter((F.col("__m") > SMALL_BUCKET) & (F.col(id_col) != F.col("__root")))
+        .select(F.col(id_col).alias("src"), F.col("__root").alias("dst"))
+    )
+    small = b.filter(F.col("__m") <= SMALL_BUCKET).select(*bucket_cols, id_col)
+    lhs, rhs = small.alias("l"), small.alias("r")
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in bucket_cols]
+    cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    pairs = lhs.join(rhs, on=cond).select(
+        F.col(f"l.{id_col}").alias("src"), F.col(f"r.{id_col}").alias("dst")
+    )
+    return star.unionByName(pairs).dropDuplicates(["src", "dst"])
+
+
+# cap on expanded (pair, shingle) rows per vectorized sub-batch: bounds the
+# lexsort working set to ~tens of MB regardless of Arrow batch size
+_JACCARD_CHUNK_ELEMS = 2_000_000
+
+
+def batch_jaccard(ta: list, tb: list) -> np.ndarray:
+    """Exact mixed-shingle Jaccard for a batch of text pairs — vectorized.
+
+    Shingle sets are built once per DISTINCT text in the batch (bucket
+    roots repeat across many pairs) with grams interned to int ids, then a
+    single lexsort over (pair, gram_id) rows counts every pair's
+    intersection at once.  No per-pair Python loop; memory bounded by
+    sub-chunking at _JACCARD_CHUNK_ELEMS expanded rows.  Row-wise
+    equivalent to set-based fuzzy_jaccard (tests pin this).
+    """
+    n = len(ta)
+    if n == 0:
+        return np.zeros(0)
+    gram_ids: dict[str, int] = {}
+    cache: dict[str, np.ndarray] = {}
+
+    def arr(s: str) -> np.ndarray:
+        s = s or ""
+        a = cache.get(s)
+        if a is None:
+            grams = _grams_mixed(norm_term(s))
+            a = np.fromiter(
+                (gram_ids.setdefault(g, len(gram_ids)) for g in grams),
+                dtype=np.int64,
+                count=len(grams),
+            )
+            cache[s] = a
+        return a
+
+    A = [arr(s) for s in ta]
+    B = [arr(s) for s in tb]
+    la = np.fromiter((x.size for x in A), dtype=np.int64, count=n)
+    lb = np.fromiter((x.size for x in B), dtype=np.int64, count=n)
+    sizes = la + lb
+    out = np.empty(n, dtype=np.float64)
+    lo = 0
+    while lo < n:
+        hi = lo + 1
+        budget = sizes[lo]
+        while hi < n and budget + sizes[hi] <= _JACCARD_CHUNK_ELEMS:
+            budget += sizes[hi]
+            hi += 1
+        m = hi - lo
+        rel = np.arange(m)
+        idx = np.concatenate([np.repeat(rel, la[lo:hi]), np.repeat(rel, lb[lo:hi])])
+        h = np.concatenate(A[lo:hi] + B[lo:hi]) if budget else np.zeros(0, dtype=np.int64)
+        order = np.lexsort((h, idx))
+        ii, hh = idx[order], h[order]
+        dup = (ii[1:] == ii[:-1]) & (hh[1:] == hh[:-1])
+        inter = np.bincount(ii[:-1][dup], minlength=m)
+        union = la[lo:hi] + lb[lo:hi] - inter
+        out[lo:hi] = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        lo = hi
+    return out
+
+
+@F.pandas_udf(T.DoubleType())
+def jaccard_pairs_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+    """Batch-vectorized exact mixed-shingle Jaccard (see batch_jaccard)."""
+    return pd.Series(batch_jaccard(ta.tolist(), tb.tolist()))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -57,17 +164,15 @@ def minhash_dedup(
        identical license headers contributes ONE row downstream, not m.
     2. Bands explode (Arrow UDF) carrying only (id, band keys) — the text
        is never replicated 16× through the shuffle.
-    3. STAR edges per (band_id, band_hash) bucket: each member links to the
-       bucket-min id via a window — O(m) edges per bucket where an
-       all-pairs self-join emits O(m²) pairs.  Two near-dups sharing a
-       bucket usually both verify against the bucket root and CC merges
-       them; a pair similar to each other but not to their bucket root can
-       still connect through any of the other BANDS-1 bands (where one of
-       them IS the root), trading a small recall tail for non-quadratic
-       edge volume.
-    4. Exact-Jaccard verify on member↔root pairs only (texts fetched by two
-       post-dedup id joins, Arrow-batched UDF).
-    5. CC over exact edges ∪ verified star edges.
+    3. HYBRID edges per (band_id, band_hash) bucket (_bucket_edges):
+       complete all-pairs inside buckets of <= SMALL_BUCKET members, star
+       member→bucket-min above — O(m) edges per big bucket where an
+       all-pairs self-join emits O(m²) pairs, with zero recall loss on the
+       small buckets where organic near-dup pairs live.
+    4. Exact-Jaccard verify on candidate edges only (texts fetched by two
+       post-dedup id joins, batch-vectorized Arrow UDF — no per-pair
+       Python).
+    5. CC over exact edges ∪ verified edges.
     """
     ids = df.select(F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__text"))
 
@@ -88,31 +193,21 @@ def minhash_dedup(
         "__id", F.posexplode("__bands").alias("band_id", "band_hash")
     )
 
-    # 3. star edges: min id per bucket, one edge per non-root member
-    wb = Window.partitionBy("band_id", "band_hash")
-    star = (
-        bands.withColumn("__root", F.min("__id").over(wb))
-        .filter(F.col("__id") != F.col("__root"))
-        .select(F.col("__id").alias("src"), F.col("__root").alias("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
+    # 3. hybrid candidate edges (all-pairs small buckets, star above)
+    cand = _bucket_edges(bands, ["band_id", "band_hash"], "__id")
 
-    # 4. verify member↔root Jaccard; fetch texts AFTER the pair dedup so
+    # 4. verify candidate Jaccard; fetch texts AFTER the pair dedup so
     # each distinct edge pulls each side's text exactly once
     txt = reps.select(F.col("__id").alias("__tid"), F.col("__text"))
     pairs = (
-        star.join(txt.withColumnRenamed("__text", "__ta"), star.src == txt.__tid)
+        cand.join(txt.withColumnRenamed("__text", "__ta"), cand.src == txt.__tid)
         .drop("__tid")
-        .join(txt.withColumnRenamed("__text", "__tb"), star.dst == F.col("__tid"))
+        .join(txt.withColumnRenamed("__text", "__tb"), cand.dst == F.col("__tid"))
         .drop("__tid")
     )
 
-    @F.pandas_udf(T.DoubleType())
-    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        return pd.Series([fuzzy_jaccard(x or "", y or "") for x, y in zip(ta, tb)])
-
     verified = (
-        pairs.withColumn("__j", _jac("__ta", "__tb"))
+        pairs.withColumn("__j", jaccard_pairs_udf("__ta", "__tb"))
         .filter(F.col("__j") >= jaccard_threshold)
         .select("src", "dst")
     )
@@ -189,13 +284,51 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(batch_simhash(texts.tolist()))
 
 
-def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """-> (id, id2) candidate near-dup pairs with Hamming(simhash) ≤ 3,
-    via chunk banding (no quadratic comparison)."""
-    sh = df.select(F.col(id_col).cast("long").alias("__id"), simhash_udf(F.col(text_col)).alias("__sh"))
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """-> (id_col, cluster_id): docs whose 64-bit simhashes are within
+    Hamming distance ``max_hamming`` (transitively) share a cluster_id (the
+    min doc id of the cluster).
+
+    Plan shape mirrors minhash_dedup's scale posture exactly:
+
+    1. EXACT pre-pass on sha256(text) — byte-identical docs (simhash
+       collisions by definition) collapse to one representative before any
+       banding; a hot boilerplate text contributes ONE row to the LSH.
+    2. 4×16-bit chunk banding over unique texts: Hamming ≤ 3 guarantees at
+       least one equal chunk (pigeonhole), so chunk buckets are a complete
+       candidate generator.
+    3. HYBRID edges per (chunk_id, chunk_val) bucket (_bucket_edges):
+       all-pairs inside small buckets, star member→bucket-min above —
+       removes the round-2 quadratic blowup on hot chunk values
+       (empty/boilerplate docs sharing a simhash) while keeping complete
+       recall on small buckets.
+    4. Verify = ``bit_count(sha XOR shb) <= max_hamming`` — pure JVM
+       column algebra, no Python.
+    5. CC over exact edges ∪ verified edges; singletons keep their own id.
+    """
+    ids = df.select(F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__text"))
+
+    # 1. exact pre-pass: shuffle the digest, never the text
+    wd = Window.partitionBy("__digest")
+    digests = (
+        ids.withColumn("__digest", F.sha2(F.col("__text"), 256))
+        .withColumn("__rep", F.min("__id").over(wd))
+    )
+    exact_edges = (
+        digests.filter(F.col("__id") != F.col("__rep"))
+        .select(F.col("__id").alias("src"), F.col("__rep").alias("dst"))
+    )
+    reps = digests.filter(F.col("__id") == F.col("__rep")).select("__id", "__text")
+
+    # 2. simhash + chunk banding over unique texts only
+    sh = reps.select("__id", simhash_udf(F.col("__text")).alias("__sh"))
     chunks = sh.select(
         "__id",
-        "__sh",
         F.explode(
             F.array(
                 *[
@@ -207,21 +340,26 @@ def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 ]
             )
         ).alias("c"),
-    ).select("__id", "__sh", "c.chunk_id", "c.chunk_val")
+    ).select("__id", "c.chunk_id", "c.chunk_val")
 
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.chunk_id") == F.col("b.chunk_id"),
-                F.col("a.chunk_val") == F.col("b.chunk_val"),
-                F.col("a.__id") < F.col("b.__id"),
-            ],
-        )
-        .select(F.col("a.__id").alias(id_col), F.col("b.__id").alias("id2"),
-                F.col("a.__sh").alias("__sa"), F.col("b.__sh").alias("__sb"))
-        .dropDuplicates([id_col, "id2"])
+    # 3. hybrid candidate edges; 4. JVM Hamming verify (simhashes joined by
+    # id AFTER pair dedup — each edge fetches each side's 8-byte hash once)
+    cand = _bucket_edges(chunks, ["chunk_id", "chunk_val"], "__id")
+    hv = sh.select(F.col("__id").alias("__hid"), F.col("__sh"))
+    verified = (
+        cand.join(hv.withColumnRenamed("__sh", "__sa"), cand.src == F.col("__hid")).drop("__hid")
+        .join(hv.withColumnRenamed("__sh", "__sb"), cand.dst == F.col("__hid")).drop("__hid")
+        .filter(F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))) <= max_hamming)
+        .select("src", "dst")
     )
-    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
-    return cand.filter(hamming <= 3).select(id_col, "id2")
+
+    comps = connected_components(exact_edges.unionByName(verified))
+    clusters = comps.select(F.col("node_id").alias("__id"), F.col("component_id").alias("cluster_id"))
+    return (
+        ids.select("__id")
+        .join(clusters, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("cluster_id", F.col("__id")).alias("cluster_id"),
+        )
+    )

@@ -1,7 +1,12 @@
 """The "paper oracle" (FIXTURES.md §A4): a tiny single-process pandas/python
 implementation of the pipeline SEMANTICS, used only to derive golden triples
 from golden mentions + the dictionary.  It shares no code with the Spark
-pipeline under test (kgx.stages / kgx.canon) beyond the URI conventions.
+pipeline under test (kgx.stages / kgx.canon) beyond the URI conventions and
+the fuzzy-acceptance scoring primitives (_pair_score + thresholds from
+kgx.link.rerank, batch_band_hashes from kgx.link.minhash) — shared
+deliberately so the golden fuzzy gate is the SAME decision function the
+pipeline applies, not an approximation that diverges on organic lev-2
+coincidences (round-2 advisory).
 
 Conventions (FIXTURES.md §A4):
   subj/obj URIs: ``doc:<repo>/<path>@<commit>``, ``cpd:<compound_id>``,
@@ -58,7 +63,7 @@ def derive_golden_links(
     method fires on their surface: the pipeline links them too — that is
     exactly the precision cost they exist to charge.
     """
-    from kgx.text.normalize import levenshtein, norm_term, skeleton
+    from kgx.text.normalize import norm_term, skeleton
 
     # term map, mirroring link._unique_terms: one (compound, kind) per
     # normalized surface, minimum (compound_id, kind) wins
@@ -87,13 +92,19 @@ def derive_golden_links(
         for s in r.synonyms if r.synonyms is not None else []:
             skel_set.add(skeleton(s))
 
-    # fuzzy gate mirror: the pipeline's deterministic candidate channel is
-    # the deletion-1 neighborhood (kgx.link.symdel) — two strings share a
-    # del≤1 signature iff they are ≤1 deletion-apart on each side, which
-    # covers every ≤1-edit corruption the generator plants.  An O(|surfaces|)
-    # levenshtein scan per mention would be O(10^10) at the scaling corpus;
-    # the signature index is O(len) lookups per DISTINCT surface instead.
-    from kgx.link.rerank import MAX_LEV
+    # fuzzy gate mirror — faithful to the pipeline's full channel (round-2
+    # advisory): candidates come from BOTH signature families the join uses
+    # (deletion-1 neighborhood, kgx.link.symdel, covering every ≤1-edit
+    # corruption deterministically; AND minhash LSH bands, kgx.link.minhash,
+    # covering moderate-Jaccard lev-2 pairs), then pass the join's
+    # length/levenshtein gates AND the rerank acceptance threshold
+    # (_pair_score ≥ FUZZY_SCALE·MIN_SCORE) — the same score the pipeline
+    # applies, so organic lev-2 coincidences are accepted/rejected
+    # identically.  An O(|surfaces|) levenshtein scan per mention would be
+    # O(10^10) at the scaling corpus; both indexes are O(len) / O(BANDS)
+    # lookups per DISTINCT surface instead.
+    from kgx.link.minhash import batch_band_hashes
+    from kgx.link.rerank import FUZZY_SCALE, MAX_LEV, MIN_SCORE, _pair_score
 
     fuzzy_surfaces = sorted(
         {norm for norm, _cid, kind in entries if kind not in ("formula", "identifier")}
@@ -102,6 +113,10 @@ def derive_golden_links(
     for t in fuzzy_surfaces:
         for sig in {t, *(t[:i] + t[i + 1 :] for i in range(len(t)))}:
             sig_to_terms.setdefault(sig, []).append(t)
+    band_to_terms: dict[int, list[str]] = {}
+    for t, bands in zip(fuzzy_surfaces, batch_band_hashes(fuzzy_surfaces)):
+        for b in set(bands):
+            band_to_terms.setdefault(b, []).append(t)
 
     fuzzy_memo: dict[str, bool] = {}
 
@@ -112,10 +127,16 @@ def derive_golden_links(
         cands: set[str] = set()
         for sig in {norm, *(norm[:i] + norm[i + 1 :] for i in range(len(norm)))}:
             cands.update(sig_to_terms.get(sig, ()))
-        hit = any(
-            abs(len(norm) - len(t)) <= MAX_LEV and levenshtein(norm, t, cap=MAX_LEV) <= MAX_LEV
-            for t in cands
-        )
+        for b in set(batch_band_hashes([norm])[0]):
+            cands.update(band_to_terms.get(b, ()))
+        hit = False
+        for t in cands:
+            if abs(len(norm) - len(t)) > MAX_LEV:
+                continue
+            lev, score = _pair_score(norm, t)
+            if lev <= MAX_LEV and score >= FUZZY_SCALE * MIN_SCORE:
+                hit = True
+                break
         fuzzy_memo[norm] = hit
         return hit
 

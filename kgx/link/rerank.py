@@ -94,6 +94,16 @@ def rerank(pairs: DataFrame, n_buckets: int | None = None) -> DataFrame:
     # serialize the Python scoring — partition count must reflect CPU cost,
     # not bytes.  groupBy on the same key then reuses this exchange.
     bucketed = bucketed.repartition(n_buckets, "__bucket")
-    return bucketed.groupBy("__bucket").applyInPandas(
+    scored = bucketed.groupBy("__bucket").applyInPandas(
         lambda pdf: _score_group(pdf), PAIR_SCORE_SCHEMA
+    )
+    # _score_group dedups (surface, compound) only WITHIN its bucket; two
+    # terms of one compound matching the same surface can hash to different
+    # buckets, so enforce the documented "one row per (surface, compound)"
+    # contract globally.  Accepted rows are vocabulary-sized, so this final
+    # max-score reduction is a tiny shuffle.
+    return (
+        scored.groupBy("norm_text", "compound_id")
+        .agg(F.max("score").alias("score"))
+        .withColumn("method", F.lit("fuzzy"))
     )

@@ -44,7 +44,12 @@ def _unique_terms(terms: DataFrame) -> DataFrame:
     )
 
 
-def link_entities(mentions: DataFrame, dict_df: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
+def link_entities(
+    mentions: DataFrame,
+    dict_df: DataFrame,
+    enable_fuzzy: bool = True,
+    fuzzy_broadcast_max_rows: int = 2_000_000,
+) -> DataFrame:
     # terms is consumed by ~6 broadcast builds below; collapse it to one
     # cached partition so each build is a single-task collect instead of a
     # full window-shuffle job (the lexicon is broadcast-sized by design)
@@ -173,9 +178,15 @@ def link_entities(mentions: DataFrame, dict_df: DataFrame, enable_fuzzy: bool = 
             .dropDuplicates(["norm_text", "compound_id", "term_norm"])
         )
         # accepted pairs are bounded by the distinct-misspelling vocabulary
-        # (≪ mentions), so the map side broadcasts at any corpus scale
-        scored = rerank(pair_cands)
-        fuzzy_links = fuzzy_mentions.join(F.broadcast(scored), "norm_text").select(
+        # (≪ mentions), so the map side broadcasts at any realistic corpus
+        # scale — but that is an ASSUMPTION about the corpus, not a law, so
+        # measure it (the checkpoint makes the count a cache read) and fall
+        # back to a shuffle hash join on an adversarial corpus whose
+        # distinct-surface vocabulary outgrows the broadcast budget
+        scored = rerank(pair_cands).localCheckpoint()
+        if scored.count() <= fuzzy_broadcast_max_rows:
+            scored = F.broadcast(scored)
+        fuzzy_links = fuzzy_mentions.join(scored, "norm_text").select(
             "mention_id", "file_key", "repo", "path", "commit",
             "compound_id", "score", "method",
         )

@@ -152,12 +152,101 @@ def test_simhash_batch_matches_rowwise_reference():
     assert batch_simhash(["", ""]).tolist() == [0, 0]
 
 
-def test_simhash_dedup_pairs(spark):
+def test_simhash_dedup_clusters(spark):
     from kgx.extras.dedup import simhash_dedup
 
-    pairs = {(r["doc_id"], r["id2"]) for r in simhash_dedup(_docs(spark), "text", "doc_id").collect()}
-    assert (0, 1) in pairs  # identical -> hamming 0
-    assert not any({a, b} == {0, 3} for a, b in pairs)
+    out = {r["doc_id"]: r["cluster_id"] for r in simhash_dedup(_docs(spark), "text", "doc_id").collect()}
+    assert out[0] == out[1]  # identical -> hamming 0 -> same cluster
+    assert out[0] != out[3]
+    assert out[5] not in (out[0], out[3])
+
+
+def test_simhash_dedup_matches_allpairs_reference(spark):
+    """Hybrid small-all-pairs/star candidate plan + CC must equal the
+    connected components of the round-2 exhaustive pair set (all-pairs
+    within chunk buckets, Hamming <= 3 — complete by pigeonhole) on a
+    corpus with planted near-dup clusters and exact dups."""
+    import networkx as nx
+
+    from kgx.extras.dedup import batch_simhash, simhash_dedup
+
+    words = "spark shuffle partition join window filter agg scan batch stream".split()
+    rng = np.random.RandomState(11)
+    rows, did = [], 0
+    for c in range(10):
+        base = " ".join(rng.choice(words, size=40))
+        for v in range(c % 4 + 1):  # near dups: one token appended
+            t = base if v == 0 else base + f" t{v}"
+            rows.append((did, t))
+            did += 1
+        rows.append((did, base))  # exact dup
+        did += 1
+
+    # reference: exhaustive Hamming<=3 pairs over the raw simhashes + CC
+    hashes = batch_simhash([t for _, t in rows])
+    g = nx.Graph()
+    g.add_nodes_from(i for i, _ in rows)
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if bin((int(hashes[i]) ^ int(hashes[j])) & (2**64 - 1)).count("1") <= 3:
+                g.add_edge(rows[i][0], rows[j][0])
+    ref = {}
+    for comp in nx.connected_components(g):
+        root = min(comp)
+        for n in comp:
+            ref[n] = root
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in simhash_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), "text", "doc_id"
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_batch_jaccard_matches_rowwise_reference():
+    """batch_jaccard (interned grams + one lexsort per chunk) == per-pair
+    set-based fuzzy_jaccard, including empty strings and repeated roots."""
+    from kgx.extras.dedup import batch_jaccard
+    from kgx.link.minhash import fuzzy_jaccard
+
+    ta = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "alpha beta gamma",
+        "short",
+        "",
+    ]
+    tb = [
+        "the quick brown fox jumps over the lazy cat",
+        "the quick brown fox jumps over the lazy dog",
+        "nonempty other side",
+        "alpha beta delta epsilon",
+        "shorts",
+        "",
+    ]
+    got = batch_jaccard(ta, tb)
+    want = [fuzzy_jaccard(a, b) for a, b in zip(ta, tb)]
+    assert np.allclose(got, want)
+    assert batch_jaccard([], []).size == 0
+
+
+def test_batch_jaccard_chunking():
+    """Sub-chunked path (tiny element budget) == unchunked result."""
+    import kgx.extras.dedup as dd
+
+    ta = ["alpha beta gamma delta " * 5] * 7 + ["x y z"]
+    tb = ["alpha beta gamma epsilon " * 5] * 7 + ["x y w"]
+    full = dd.batch_jaccard(ta, tb)
+    old = dd._JACCARD_CHUNK_ELEMS
+    try:
+        dd._JACCARD_CHUNK_ELEMS = 1  # force one pair per chunk
+        chunked = dd.batch_jaccard(ta, tb)
+    finally:
+        dd._JACCARD_CHUNK_ELEMS = old
+    assert np.allclose(full, chunked)
 
 
 # --- similarity search -------------------------------------------------------

@@ -87,3 +87,54 @@ def test_scores_are_ordered_by_method(spark, dict_df):
     )
     rows = {r["mention_id"]: r for r in link_entities(df, dict_df).collect()}
     assert rows[1]["score"] > rows[2]["score"] > rows[3]["score"]
+
+
+def test_fuzzy_broadcast_fallback_same_result(spark, dict_df):
+    """fuzzy_broadcast_max_rows=0 forces the shuffle-join fallback for the
+    accepted (surface -> compound) map; links must be identical to the
+    broadcast path (the guard changes the physical join only)."""
+    mentions = [
+        _mention(1, "ethanoll", "TRIVIAL"),      # synonym (exact channel)
+        _mention(2, "ethnol", "SYSTEMATIC"),     # fuzzy: deletion
+        _mention(3, "ethanoil", "SYSTEMATIC"),   # fuzzy: insertion
+        _mention(4, "zzqq", "SYSTEMATIC"),       # unlinkable
+    ]
+    df = spark.createDataFrame(mentions, MENTION_SCHEMA)
+    broadcast_path = {
+        r["mention_id"]: (r["compound_id"], r["method"], r["score"])
+        for r in link_entities(df, dict_df).collect()
+    }
+    shuffle_path = {
+        r["mention_id"]: (r["compound_id"], r["method"], r["score"])
+        for r in link_entities(df, dict_df, fuzzy_broadcast_max_rows=0).collect()
+    }
+    assert broadcast_path == shuffle_path
+    assert broadcast_path[2][1] == "fuzzy" and broadcast_path[3][1] == "fuzzy"
+
+
+def test_rerank_one_row_per_surface_compound(spark):
+    """Global output contract: one row per (norm_text, compound_id) even
+    when several terms of one compound match a surface from different
+    pair-hash buckets (round-2 advisory)."""
+    from kgx.link.rerank import rerank
+
+    # two terms of compound 7 both within lev<=2 of the same surface; tiny
+    # n_buckets can't co-locate every (surface, term) pair by construction
+    pairs = spark.createDataFrame(
+        [
+            ("ethanoll", "ethanol", 7),
+            ("ethanoll", "ethanole", 7),
+            ("ethanoll", "methanol", 9),
+        ],
+        "norm_text string, term_norm string, compound_id long",
+    )
+    out = rerank(pairs, n_buckets=16).collect()
+    keys = [(r["norm_text"], r["compound_id"]) for r in out]
+    assert len(keys) == len(set(keys))
+    by_key = {(r["norm_text"], r["compound_id"]): r for r in out}
+    assert ("ethanoll", 7) in by_key
+    # the kept score is the max over that compound's matching terms
+    from kgx.link.rerank import _pair_score
+
+    best = max(_pair_score("ethanoll", t)[1] for t in ("ethanol", "ethanole"))
+    assert abs(by_key[("ethanoll", 7)]["score"] - best) < 1e-9
