@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgx.text import chemlex as cl
-from kgx.text.normalize import MAX_TERM_TOKENS, norm_term, tokenize_with_spans
+from kgx.text.normalize import MAX_TERM_TOKENS, TOKEN_RE
 
 # output schema of the kernel (mention_id attached afterwards, JVM-side)
 DETECT_SCHEMA = (
@@ -65,44 +65,77 @@ def _multi_first(index: dict[str, str]) -> frozenset:
 
 
 def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
-    """Pure-python kernel over one document; unit-testable without Spark."""
-    tokens = tokenize_with_spans(text)
-    n = len(tokens)
+    """Pure-python kernel over one document; unit-testable without Spark.
+
+    Hot-loop layout (round-3 rework, byte-identical output pinned by the
+    golden/property tests): tokenization keeps only ``span()`` per match and
+    slices tokens out of one whole-document ``lower()`` — no per-token
+    ``.group()/.start()/.end()/.lower()`` method calls; inter-token
+    whitespace gates are checked lazily at the handful of positions where a
+    multi-token probe or an "acid" continuation actually needs them (most
+    tokens need no gap information at all); the common single-token path
+    does one dict lookup with no inner loop.
+    """
+    spans = [m.span() for m in TOKEN_RE.finditer(text)]
+    n = len(spans)
+    low_text = text.lower()
     # tokens from TOKEN_RE can't start/end with ,-' nor contain separator
     # runs, so norm_term(tok) == tok.lower() — property-tested in
     # tests/test_normalize.py; skips a regex split per token
-    norms = [t[2].lower() for t in tokens]
+    norms = [low_text[s:e] for s, e in spans]
     multi_first = _multi_first(index)
-    # gap_ws[j]: tokens j and j+1 are separated by ≥1 space/tab only
-    # (precomputed once — the old per-(i,k) set() rebuild was the kernel's
-    # single hottest line)
-    gap_ws = [
-        tokens[j][1] < tokens[j + 1][0]
-        and not text[tokens[j][1] : tokens[j + 1][0]].strip(" \t")
-        for j in range(n - 1)
-    ]
+
+    def gap_ws(j: int) -> bool:
+        # tokens j and j+1 separated by ≥1 space/tab only (adjacent maximal
+        # matches always have a ≥1-char gap, but keep the < check exact)
+        e = spans[j][1]
+        s2 = spans[j + 1][0]
+        return e < s2 and not text[e:s2].strip(" \t")
+
     out: list[dict] = []
     dict_spans: list[tuple[int, int, str]] = []  # (start, end, norm) of lexicon hits
     abbrev_toks: list[int] = []
     index_get = index.get
+    is_systematic_like = cl._is_systematic_like  # lru core, skip the wrapper
 
     i = 0
     while i < n:
-        matched = False
+        cand = norms[i]
         # greedy leftmost-longest lexicon match; k>1 only where a
         # multi-token term can possibly start
-        kmax = min(MAX_TERM_TOKENS, n - i) if norms[i] in multi_first else 1
-        for k in range(kmax, 0, -1):
-            if k > 1:
-                # n-gram tokens must be separated by spaces/tabs only
-                if not all(gap_ws[j] for j in range(i, i + k - 1)):
-                    continue
-                cand = " ".join(norms[i : i + k])
-            else:
-                cand = norms[i]
+        if cand in multi_first:
+            matched = False
+            for k in range(min(MAX_TERM_TOKENS, n - i), 0, -1):
+                if k > 1:
+                    # n-gram tokens must be separated by spaces/tabs only
+                    if not all(gap_ws(j) for j in range(i, i + k - 1)):
+                        continue
+                    cand = " ".join(norms[i : i + k])
+                else:
+                    cand = norms[i]
+                mtype = index_get(cand)
+                if mtype is not None:
+                    s, e = spans[i][0], spans[i + k - 1][1]
+                    out.append(
+                        {
+                            "start": s,
+                            "end": e,
+                            "text": text[s:e],
+                            "norm_text": cand,
+                            "mtype": mtype,
+                            "defined_as": None,
+                        }
+                    )
+                    dict_spans.append((s, e, cand))
+                    i += k
+                    matched = True
+                    break
+            if matched:
+                continue
+        else:
             mtype = index_get(cand)
             if mtype is not None:
-                s, e = tokens[i][0], tokens[i + k - 1][1]
+                s, e = spans[i]
                 out.append(
                     {
                         "start": s,
@@ -114,57 +147,60 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
                     }
                 )
                 dict_spans.append((s, e, cand))
-                i += k
-                matched = True
-                break
-        if matched:
-            continue
+                i += 1
+                continue
 
-        s, e, raw = tokens[i]
+        s, e = spans[i]
         low = norms[i]
         # first-char dispatch: abbrev/formula need an uppercase start, CAS a
         # digit — most tokens are lowercase and skip straight to the
         # systematic gate without touching those regexes
-        c0 = raw[0]
-        if "A" <= c0 <= "Z" and cl.is_abbrev_like(raw):
-            # candidate abbreviation; resolved in pass 2 (doc-local defs),
-            # with a fuzzy-systematic fallback in pass 3 for unbound ones
-            abbrev_toks.append(i)
-            i += 1
-            continue
-        if "0" <= c0 <= "9" and cl.is_cas_like(raw):
-            # CAS registry number (ChemSpot IDENTIFIER); linked exactly via
-            # the lexicon index when known, else an unlinked identifier span
-            out.append(
-                {
-                    "start": s,
-                    "end": e,
-                    "text": raw,
-                    "norm_text": low,
-                    "mtype": "IDENTIFIER",
-                    "defined_as": None,
-                }
-            )
-            i += 1
-            continue
-        if "A" <= c0 <= "Z" and cl.is_formula_like(raw):
-            out.append(
-                {
-                    "start": s,
-                    "end": e,
-                    "text": raw,
-                    "norm_text": low,
-                    "mtype": "FORMULA",
-                    "defined_as": None,
-                }
-            )
-            i += 1
-            continue
-        if cl.is_systematic_like(low):
+        c0 = text[s]
+        if "A" <= c0 <= "Z":
+            raw = text[s:e]
+            if cl.is_abbrev_like(raw):
+                # candidate abbreviation; resolved in pass 2 (doc-local
+                # defs), with a fuzzy-systematic fallback in pass 3
+                abbrev_toks.append(i)
+                i += 1
+                continue
+            if cl.is_formula_like(raw):
+                out.append(
+                    {
+                        "start": s,
+                        "end": e,
+                        "text": raw,
+                        "norm_text": low,
+                        "mtype": "FORMULA",
+                        "defined_as": None,
+                    }
+                )
+                i += 1
+                continue
+        elif "0" <= c0 <= "9":
+            raw = text[s:e]
+            # CAS shape always contains '-': skip the regex for the pure
+            # number literals that dominate digit-start tokens in code
+            if "-" in raw and cl.is_cas_like(raw):
+                # CAS registry number (ChemSpot IDENTIFIER); linked exactly
+                # via the lexicon index when known, else an unlinked span
+                out.append(
+                    {
+                        "start": s,
+                        "end": e,
+                        "text": raw,
+                        "norm_text": low,
+                        "mtype": "IDENTIFIER",
+                        "defined_as": None,
+                    }
+                )
+                i += 1
+                continue
+        if len(low) >= 6 and is_systematic_like(low):
             # "-oic acid" continuation: a systematic-looking token followed
             # by space-adjacent "acid" is one two-token mention
-            if i + 1 < n and norms[i + 1] == "acid" and gap_ws[i]:
-                e = tokens[i + 1][1]
+            if i + 1 < n and norms[i + 1] == "acid" and gap_ws(i):
+                e = spans[i + 1][1]
                 nrm = f"{low} acid"
                 i += 2
             else:
@@ -187,7 +223,8 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
     end_to_norm = {e: nrm for (_s, e, nrm) in dict_spans}
     defs: dict[str, str] = {}
     for ti in abbrev_toks:
-        s, e, raw = tokens[ti]
+        s, e = spans[ti]
+        raw = text[s:e]
         if (
             s >= 2
             and e < len(text)
@@ -203,7 +240,8 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
     # the fuzzy-systematic channel (e.g. a corrupted name in an ALL_CAPS
     # identifier) — ordinary code constants pass neither gate
     for ti in abbrev_toks:
-        s, e, raw = tokens[ti]
+        s, e = spans[ti]
+        raw = text[s:e]
         long_norm = defs.get(raw)
         if long_norm is not None:
             out.append(
