@@ -722,7 +722,7 @@ def q_date_arith(spark, sf_dir):  # I3: date arithmetic
     )
 
 
-def q_multimodal_features(spark, sf_dir):  # rows-only: binary-column plumbing
+def q_multimodal_features(spark, sf_dir):  # value-oracled vs precomputed expected features
     from kgx.extras.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, 64)

@@ -5,32 +5,36 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": <sf>,
    "pipeline": {...triples/sec at local[8] and local[32], scaling eff...}}
 
-Two parts:
+Two parts (relational FIRST — it gets a fresh, right-sized JVM; round 2
+measured +28% pure harness-order noise running it after the pipeline
+subprocesses):
 
-1. KG pipeline end-to-end on the synthesized 'scaling' corpus (2.4M files,
-   FIXTURES.md) across CLUSTER SIZES — ``local-cluster[N, 2, 12288]`` for
-   N ∈ {1, 2, 4, 8} executors — in separate JVM trees (subprocess per
+1. Headline relational queries over $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], each forced with the
+   noop sink (full execution, no collect-to-driver).
+2. KG pipeline end-to-end on the synthesized 'scaling3' corpus (7.2M
+   files, FIXTURES.md) at ``local-cluster[1,2,12288]`` vs
+   ``local-cluster[4,2,12288]`` — separate JVM trees (subprocess per
    master), identical job config and identical per-executor shape (2
    cores, 12 GiB); only the executor COUNT varies, exactly the north
    rule's "N and 4N executors" criterion:
      eff(N→4N) = (T_N / T_4N) / 4
-   The primary gate pair is 1→4 executors.  2→8 is reported as the
-   secondary point: at 16 cores the job hits the corpus' parallelism
-   ceiling on this single host (serial floor ≈22 s + stage-wave
-   quantization), documented in BASELINE.md.  Thread-width local[2/8/32]
-   single-JVM numbers are NOT used for the gate: a shared heap makes GC a
-   resource that degrades with width (measured 10 s task-GC at local[2]
+   The gate pair runs as KGX_BENCH_REPS (default 2) back-to-back repeats
+   with ALTERNATING order — this host's throughput drifts ±10-20% on
+   sustained wide runs, so a single pair is a coin-flip and the protocol
+   median is the estimator (full 5-rep runs + the 2/8-executor ladder
+   live in bench/scaling_protocol.py and BASELINE.md).  Thread-width
+   local[2/8/32] single-JVM numbers are NOT used for the gate: a shared
+   heap makes GC degrade with width (measured 10 s task-GC at local[2]
    vs 148 s at local[8], same work) — an artifact a real multi-executor
    cluster does not have, which local-cluster's per-executor JVMs remove.
    The local[32] single-JVM run is still reported as the throughput
    headline (+P/R).
-2. Headline relational queries over $SPARK_GRAFT_SF_DIR (default
-   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], each forced with the
-   noop sink (full execution, no collect-to-driver).
 
 Environment: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, KGX_BENCH_SCALE
-(fixture scale, default "scaling"), KGX_SKIP_SCALING=1 to skip part 1
-(runs local[$CPUS] only, on the 'bench' corpus).
+(fixture scale, default "scaling3"), KGX_BENCH_REPS, KGX_SKIP_SCALING=1
+to skip part 2's executor ladder (runs local[$CPUS] only, on the 'bench'
+corpus), KGX_QUERY_MEM (relational-session heap, default 24g).
 """
 
 from __future__ import annotations
@@ -46,7 +50,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 _SKIP_SCALING = os.environ.get("KGX_SKIP_SCALING") == "1"
-BENCH_SCALE = os.environ.get("KGX_BENCH_SCALE", "bench" if _SKIP_SCALING else "scaling")
+# scaling2 (4.8M files) is the gate corpus as of round 3: the round-2/3
+# speedups shrank the parallel fraction on the 2.4M corpus below what a
+# >=0.8 1->4-executor efficiency needs at fixed serial cost (BASELINE.md
+# SCALES sizing rule: more data per executor, not code, restores it)
+BENCH_SCALE = os.environ.get("KGX_BENCH_SCALE", "bench" if _SKIP_SCALING else "scaling3")
+BENCH_REPS = int(os.environ.get("KGX_BENCH_REPS", "2"))
 
 # identical job config at every parallelism level — only the core count
 # varies, as in an N vs 4N executor comparison
@@ -144,23 +153,30 @@ def main() -> int:
 
     pipeline: dict = {"fixture_scale": BENCH_SCALE}
     if not _SKIP_SCALING:
-        execs = {
-            n: _pipeline_at(f"local-cluster[{n},2,12288]", fixture_dir)
-            for n in (1, 2, 4, 8)
-        }
+        # the north-rule gate pair: N=1 vs 4N=4 executors, fixed 2-core/12g
+        # executor shape, alternating order per rep (drift cancellation)
+        w1, w4 = "local-cluster[1,2,12288]", "local-cluster[4,2,12288]"
+        walls: dict[str, list] = {w1: [], w4: []}
+        effs = []
+        for rep in range(BENCH_REPS):
+            order = (w1, w4) if rep % 2 == 0 else (w4, w1)
+            rep_r = {}
+            for w in order:
+                rep_r[w] = _pipeline_at(w, fixture_dir)
+                walls[w].append(rep_r[w])
+            effs.append(rep_r[w1]["wall_sec"] / rep_r[w4]["wall_sec"] / 4)
+        import statistics
+
         t32 = _pipeline_at("local[32]", fixture_dir, with_pr=True)
         pipeline.update(
             {
-                **{f"exec{n}x2c": r for n, r in execs.items()},
+                "exec1x2c": walls[w1][-1],
+                "exec4x2c": walls[w4][-1],
+                "exec1x2c_walls": [r["wall_sec"] for r in walls[w1]],
+                "exec4x2c_walls": [r["wall_sec"] for r in walls[w4]],
                 "local32": t32,
-                # the north-rule gate pair: N=1 vs 4N=4 executors, fixed
-                # 2-core/12g executor shape
-                "scaling_efficiency_exec_1_to_4": round(
-                    execs[1]["wall_sec"] / execs[4]["wall_sec"] / 4, 3
-                ),
-                "scaling_efficiency_exec_2_to_8": round(
-                    execs[2]["wall_sec"] / execs[8]["wall_sec"] / 4, 3
-                ),
+                "scaling_efficiency_per_rep": [round(e, 3) for e in effs],
+                "scaling_efficiency_exec_1_to_4": round(statistics.median(effs), 3),
             }
         )
         report["value"] = t32["wall_sec"]

@@ -41,6 +41,13 @@ def get_spark(
     # executor owns its heap/GC/python workers, so per-executor behavior is
     # width-invariant; only cross-executor coordination varies)
     is_local_cluster = master.startswith("local-cluster")
+    # every executor lives on ONE host in both local modes, so delaying a
+    # task up to the default 3 s for NODE/PROCESS locality buys nothing and
+    # measurably idles slots at stage starts (localCheckpoint blocks carry
+    # PROCESS_LOCAL preferences; measured 177 s vs 230 s wall at 4x2-core
+    # executors on the 4.8M corpus).  A real multi-node cluster should keep
+    # the default — spark-submit there passes master=None and its own conf.
+    single_host = master.startswith(("local", "local-cluster"))
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -72,6 +79,8 @@ def get_spark(
         # threads on the 2.4M-file corpus)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
+    if single_host:
+        b = b.config("spark.locality.wait", "0s")
     if is_local_cluster:
         b = b.config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         # executor python workers spawn in executor work dirs, not the repo
