@@ -92,6 +92,9 @@ def _pipeline_at(master: str, fixture_dir: str, with_pr: bool = False) -> dict:
     env = dict(os.environ)
     if with_pr:
         env["KGX_BENCH_PR"] = "1"
+    # flush the previous run's dirty shuffle pages out of the timed window
+    subprocess.run(["sync"], check=False)
+    time.sleep(15)
     out = subprocess.run(
         [sys.executable, "-c", _CHILD_CODE, master, fixture_dir],
         capture_output=True,

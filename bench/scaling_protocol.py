@@ -48,7 +48,13 @@ W4 = "local-cluster[4,2,12288]"
 LADDER = ("local-cluster[2,2,12288]", "local-cluster[8,2,12288]")
 
 
-def run_once(master: str, fixture_dir: str) -> dict:
+def run_once(master: str, fixture_dir: str, settle: int = 20) -> dict:
+    # measurement hygiene: flush the PREVIOUS run's dirty shuffle pages and
+    # let the host settle before timing — otherwise run k's writeback bills
+    # run k+1 (the observed first-wide-run-after-idle-is-fast pattern)
+    if settle:
+        subprocess.run(["sync"], check=False)
+        time.sleep(settle)
     out = subprocess.run(
         [sys.executable, "-c", CHILD, master, fixture_dir],
         capture_output=True,

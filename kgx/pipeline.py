@@ -86,6 +86,31 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
 
     dict_df = load_dict(spark, cfg.dict_uri, fmt=cfg.table_format)
 
+    # Canonicalization (stage 3) depends ONLY on the dictionary — not on
+    # mentions or links — so its iterative CC loop (several small jobs with
+    # mostly-idle slots) runs on a background thread CONCURRENTLY with the
+    # corpus stages instead of serializing after them.  Spark job submission
+    # is thread-safe; the result is joined (and checkpointed, main thread)
+    # at the consumption point.  Saves the CC wall from the critical path
+    # at every cluster width.
+    import threading
+
+    cc_box: dict = {}
+    cc_thread: threading.Thread | None = None
+    if not resumed("components"):
+
+        def _cc_job() -> None:
+            try:
+                edges = build_edges(dict_df)
+                cc_box["components"] = connected_components(
+                    edges, hot_threshold=cfg.cc_hot_threshold
+                )
+            except BaseException as e:  # surfaced on join in the main thread
+                cc_box["error"] = e
+
+        cc_thread = threading.Thread(target=_cc_job, name="kgx-cc", daemon=True)
+        cc_thread.start()
+
     # Resume must skip CONSTRUCTING a committed stage, not just its write:
     # link_entities eagerly localCheckpoints its join and
     # connected_components eagerly runs its whole iterative loop, so
@@ -137,8 +162,10 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
     if resumed("components"):
         components = committed_output(spark, cfg, "components")
     else:
-        edges = build_edges(dict_df)
-        components = connected_components(edges, hot_threshold=cfg.cc_hot_threshold)
+        cc_thread.join()
+        if "error" in cc_box:
+            raise cc_box["error"]
+        components = cc_box["components"]
         components = stage_checkpoint(
             spark,
             components.select(F.col("node_id"), F.col("component_id")),
