@@ -274,6 +274,8 @@ def q_intersect_users(spark, sf_dir):  # H3: intersect
 
 
 def q_string_funcs(spark, sf_dir):  # I1: string surface over documents
+    # (absorbs the former regexp_extract_numbers query — the driver runs at
+    # most 50 registered queries, so the I1 surface is one green row)
     d = _t(spark, sf_dir, "documents")
     return (
         d.select(
@@ -281,6 +283,9 @@ def q_string_funcs(spark, sf_dir):  # I1: string surface over documents
             F.length("text").alias("n_chars_calc"),
             F.lower(F.substring("text", 1, 8)).alias("prefix8"),
             F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(r"\d+"), 0))
+            .cast("long")
+            .alias("n_numbers"),
         ).orderBy("doc_id")
     )
 
@@ -367,12 +372,20 @@ def q_global_sort_limit(spark, sf_dir):  # G1/G2: total-order top-k
 
 
 def q_latest_per_key(spark, sf_dir):  # D7: as-of/latest-version idiom
+    # + I3 date arithmetic on the surviving row (absorbs the former
+    # date_arith query — 50-query driver budget)
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
     return (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.to_date(F.date_add(F.col("o_orderdate"), 30)).cast("string").alias("due_date"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
         .orderBy("o_custkey")
     )
 
@@ -692,16 +705,6 @@ def q_zip_with_dot(spark, sf_dir):  # I5: zip_with + reverse + aggregate
     return em.select("vec_id", F.round(dot, 4).alias("self_rev_dot")).orderBy("vec_id")
 
 
-def q_regexp_extract_numbers(spark, sf_dir):  # I1: regexp_extract_all
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id",
-            F.size(F.regexp_extract_all("text", F.lit(r"\d+"), 0)).cast("long").alias("n_numbers"),
-        ).orderBy("doc_id")
-    )
-
-
 def q_percentiles(spark, sf_dir):  # exact percentile agg
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
@@ -710,16 +713,20 @@ def q_percentiles(spark, sf_dir):  # exact percentile agg
     ).orderBy("o_orderpriority")
 
 
-def q_date_arith(spark, sf_dir):  # I3: date arithmetic
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.select(
-            "o_orderkey",
-            F.to_date(F.date_add(F.col("o_orderdate"), 30)).cast("string").alias("due_date"),
-            F.year("o_orderdate").alias("yr"),
-            F.month("o_orderdate").alias("mo"),
-        ).orderBy("o_orderkey")
-    )
+def q_stream_dedup_counts(spark, sf_dir):  # J1+J2+J5 vs a batch value oracle
+    """File-source stream of the events table staged as TWO complete file
+    sets → watermark + cross-batch dropDuplicates on event_id → foreachBatch
+    upsert of per-type counts (kgx/streaming/incremental.py
+    streamed_dedup_counts).  event_id is unique in the batch table, so the
+    deduped streamed total equals the plain batch GROUP BY — the DuckDB
+    oracle."""
+    import tempfile
+
+    from kgx.streaming.incremental import streamed_dedup_counts
+
+    work = tempfile.mkdtemp(prefix="kgx_stream_q_")
+    out = streamed_dedup_counts(spark, f"{sf_dir}/events.parquet", work)
+    return out.select("event_type", "n").orderBy("event_type")
 
 
 def q_multimodal_features(spark, sf_dir):  # value-oracled vs precomputed expected features
@@ -788,10 +795,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": q_pivot_status,
         "levenshtein_names": q_levenshtein_names,
         "zip_with_dot": q_zip_with_dot,
-        "regexp_extract_numbers": q_regexp_extract_numbers,
         "percentiles": q_percentiles,
-        "date_arith": q_date_arith,
+        "stream_dedup_counts": q_stream_dedup_counts,
     }
+    # exactly 50 entries, deliberately: the round-3 driver ran 50 of 51
+    # registered queries (date_arith silently lost its green row), so the
+    # registry is kept at the observed budget — regexp_extract_numbers
+    # folded into string_funcs, date_arith into latest_per_key
+    assert len(qs) == 50, f"driver runs at most 50 queries, got {len(qs)}"
     # every callable ships kgx to the python workers first (cwd-independent)
     return {name: _shipped(fn) for name, fn in qs.items()}
 
@@ -894,10 +905,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'purchase'
             ORDER BY user_id
         """,
-        "string_funcs": """
+        "string_funcs": r"""
             SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars_calc,
                    LOWER(SUBSTRING(text, 1, 8)) AS prefix8,
-                   CAST(LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+                   CAST(LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(text, '\d+')) AS BIGINT) AS n_numbers
             FROM documents ORDER BY doc_id
         """,
         "hash_sha256": """
@@ -937,8 +949,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25
         """,
         "latest_per_key": """
-            SELECT o_custkey, o_orderkey FROM (
-              SELECT o_custkey, o_orderkey,
+            SELECT o_custkey, o_orderkey,
+                   CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+                   CAST(YEAR(o_orderdate) AS INT) AS yr,
+                   CAST(MONTH(o_orderdate) AS INT) AS mo
+            FROM (
+              SELECT o_custkey, o_orderkey, o_orderdate,
                      ROW_NUMBER() OVER (PARTITION BY o_custkey
                                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
               FROM orders) WHERE rn = 1 ORDER BY o_custkey
@@ -1132,21 +1148,17 @@ def oracle_sql() -> dict[str, str]:
                    AS self_rev_dot
             FROM embeddings ORDER BY vec_id
         """,
-        "regexp_extract_numbers": r"""
-            SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL(text, '\d+')) AS BIGINT) AS n_numbers
-            FROM documents ORDER BY doc_id
-        """,
         "percentiles": """
             SELECT o_orderpriority,
                    ROUND(CAST(QUANTILE_CONT(o_totalprice, 0.5) AS DOUBLE), 2) AS p50,
                    ROUND(CAST(QUANTILE_CONT(o_totalprice, 0.9) AS DOUBLE), 2) AS p90
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
-        "date_arith": """
-            SELECT o_orderkey,
-                   CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
-                   CAST(YEAR(o_orderdate) AS INT) AS yr,
-                   CAST(MONTH(o_orderdate) AS INT) AS mo
-            FROM orders ORDER BY o_orderkey
+        # stream_dedup_counts: the staged-duplicate stream dedups back to the
+        # batch table (event_id unique), so the upserted final state equals
+        # the plain batch aggregate
+        "stream_dedup_counts": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            GROUP BY event_type ORDER BY event_type
         """,
     }

@@ -90,6 +90,13 @@ def analyze(app_dir: Path, width: int) -> dict:
 
     # driver gaps: total app time not covered by any running stage
     spans.sort()
+    # truncated logs (killed runs) may lack ApplicationStart/End — fall
+    # back to the stage-span envelope so a partial log still analyzes
+    # instead of crashing on None arithmetic
+    if app_start is None:
+        app_start = spans[0][0] if spans else 0
+    if app_end is None:
+        app_end = max(c for _, c in spans) if spans else app_start
     merged = []
     for s, c in spans:
         if merged and s <= merged[-1][1]:

@@ -53,6 +53,14 @@ def _fake_feature(payload: bytes) -> list[float]:
     return (arr / 65535.0).tolist()
 
 
+def fake_payload(i: int) -> bytes:
+    """Deterministic fake media payload for item ``i`` — the single source
+    of truth shared by :func:`synthesize_media` and the fixture generator's
+    precomputed oracle (kgx/fixtures/gen.py expected_multimodal_features),
+    so the stamped expectation cannot drift from the kernel."""
+    return hashlib.sha256(f"media{i}".encode()).digest() * (1 + i % 5)
+
+
 def _decode_real(payload: bytes, kind: str):  # pragma: no cover - no codecs in sandbox
     raise NotImplementedError(
         "real image/audio decode requires PIL/libav, not present in this "
@@ -103,7 +111,7 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        payload = hashlib.sha256(f"media{i}".encode()).digest() * (1 + i % 5)
+        payload = fake_payload(i)
         meta = {
             "width": 64 + i if kind == "image" else None,
             "height": 48 + i if kind == "image" else None,

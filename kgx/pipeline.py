@@ -97,10 +97,17 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
 
     cc_box: dict = {}
     cc_thread: threading.Thread | None = None
+    cc_job_group = f"kgx-cc-{cfg.run_id}"
     if not resumed("components"):
 
         def _cc_job() -> None:
             try:
+                # job group is per-thread (pinned-thread mode), so every
+                # Spark job the CC loop submits is cancellable from the
+                # main thread if a corpus stage fails first
+                spark.sparkContext.setJobGroup(
+                    cc_job_group, "background canonicalization CC", interruptOnCancel=True
+                )
                 edges = build_edges(dict_df)
                 cc_box["components"] = connected_components(
                     edges, hot_threshold=cfg.cc_hot_threshold
@@ -111,53 +118,72 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
         cc_thread = threading.Thread(target=_cc_job, name="kgx-cc", daemon=True)
         cc_thread.start()
 
+    # If a corpus stage fails, don't leave the background CC competing for
+    # executor slots during error handling: cancel its job group, join the
+    # thread, and surface its own error (if any) as context.
+    def _cancel_cc(main_exc: BaseException) -> None:
+        if cc_thread is None or not cc_thread.is_alive():
+            return
+        try:
+            spark.sparkContext.cancelJobGroup(cc_job_group)
+        except Exception:
+            pass  # the session may already be unusable; main_exc still raises
+        cc_thread.join(timeout=60)
+        if "error" in cc_box:
+            main_exc.add_note(f"background CC also failed: {cc_box['error']!r}")
+
     # Resume must skip CONSTRUCTING a committed stage, not just its write:
     # link_entities eagerly localCheckpoints its join and
     # connected_components eagerly runs its whole iterative loop, so
     # building-then-discarding would re-execute all the expensive work the
     # checkpoint exists to avoid.
-    if resumed("mentions"):
-        mentions = committed_output(spark, cfg, "mentions")
-    else:
-        if cfg.table_format == "parquet":
-            index = detection_index_from_uri(cfg.dict_uri)
+    try:
+        if resumed("mentions"):
+            mentions = committed_output(spark, cfg, "mentions")
         else:
-            index = detection_index(dict_df.toPandas())
-        index_bc = spark.sparkContext.broadcast(index)
+            if cfg.table_format == "parquet":
+                index = detection_index_from_uri(cfg.dict_uri)
+            else:
+                index = detection_index(dict_df.toPandas())
+            index_bc = spark.sparkContext.broadcast(index)
 
-        # Content shuffles exactly ONCE (the spec-mandated repartition on
-        # sha256(repo,path)).  Version dedup happens AFTER detection on
-        # mention-sized rows: detecting the ~10% stale versions costs far
-        # less than a second full-content shuffle for a window — at 100 TB
-        # the difference is the job.
-        files = repartition_corpus(
-            scan_source_files(spark, cfg.source_uri, fmt=cfg.table_format),
-            cfg.num_partitions,
-        )
+            # Content shuffles exactly ONCE (the spec-mandated repartition
+            # on sha256(repo,path)).  Version dedup happens AFTER detection
+            # on mention-sized rows: detecting the ~10% stale versions
+            # costs far less than a second full-content shuffle for a
+            # window — at 100 TB the difference is the job.
+            files = repartition_corpus(
+                scan_source_files(spark, cfg.source_uri, fmt=cfg.table_format),
+                cfg.num_partitions,
+            )
 
-        # Stage boundaries are always materialized: either durably (run_dir
-        # -> parquet checkpoint + lineage) or in-session (localCheckpoint).
-        # The link cascade fans out into several join branches over
-        # `mentions`, and the CC loop runs actions every round — without
-        # materialization each of those re-executes the detection UDF over
-        # the whole corpus.
-        latest = latest_commit_map(spark, cfg.source_uri, fmt=cfg.table_format)
-        mentions = detect_mentions(files, index_bc).join(
-            latest, ["repo", "path", "commit"], "left_semi"
-        )
-        mentions = stage_checkpoint(spark, mentions, "mentions", cfg)
-        if cfg.run_dir is None:
-            mentions = mentions.localCheckpoint()
+            # Stage boundaries are always materialized: either durably
+            # (run_dir -> parquet checkpoint + lineage) or in-session
+            # (localCheckpoint).  The link cascade fans out into several
+            # join branches over `mentions`, and the CC loop runs actions
+            # every round — without materialization each of those
+            # re-executes the detection UDF over the whole corpus.
+            latest = latest_commit_map(spark, cfg.source_uri, fmt=cfg.table_format)
+            mentions = detect_mentions(files, index_bc).join(
+                latest, ["repo", "path", "commit"], "left_semi"
+            )
+            mentions = stage_checkpoint(spark, mentions, "mentions", cfg)
+            if cfg.run_dir is None:
+                mentions = mentions.localCheckpoint()
 
-    if resumed("links"):
-        links = committed_output(spark, cfg, "links")
-    else:
-        links = link_entities(mentions, dict_df, enable_fuzzy=cfg.enable_fuzzy)
-        links = stage_checkpoint(spark, links, "links", cfg)
-        if cfg.run_dir is None:
-            # stage 4 fans out into several triple projections over links;
-            # materialize once so each branch reads memory, not the cascade
-            links = links.localCheckpoint()
+        if resumed("links"):
+            links = committed_output(spark, cfg, "links")
+        else:
+            links = link_entities(mentions, dict_df, enable_fuzzy=cfg.enable_fuzzy)
+            links = stage_checkpoint(spark, links, "links", cfg)
+            if cfg.run_dir is None:
+                # stage 4 fans out into several triple projections over
+                # links; materialize once so each branch reads memory, not
+                # the cascade
+                links = links.localCheckpoint()
+    except BaseException as e:
+        _cancel_cc(e)
+        raise
 
     if resumed("components"):
         components = committed_output(spark, cfg, "components")

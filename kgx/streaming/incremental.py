@@ -11,6 +11,8 @@ Design rule: the batch stage functions are reused verbatim inside
   (file_key, commit) for late/duplicate file events.
 * :func:`windowed_ingest_metrics` — J3: tumbling/sliding counts.
 * :func:`session_ingest_windows`  — J4: per-repo session windows.
+* :func:`streamed_dedup_counts`   — J1+J2+J5 composed so the final state
+  equals a plain batch aggregate: the driver-checkable streaming oracle.
 """
 
 from __future__ import annotations
@@ -81,6 +83,87 @@ def windowed_ingest_metrics(
         .groupBy(win, "lang")
         .agg(F.count(F.lit(1)).alias("n_files"), F.sum(F.length("content")).alias("bytes"))
     )
+
+
+def streamed_dedup_counts(
+    spark: SparkSession,
+    table_path: str,
+    work_dir: str,
+    key_col: str = "event_id",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    dup_copies: int = 2,
+    max_files: int = 2,
+    stage_files: int = 4,
+    watermark: str = "87600 hours",
+) -> DataFrame:
+    """J1+J2+J5 composed into a BATCH-CHECKABLE result: file-source stream
+    → watermark dedup → foreachBatch upsert, whose final table equals the
+    plain batch ``SELECT group_col, COUNT(*) ... GROUP BY`` over the input
+    — the driver's DuckDB oracle for the streaming path.
+
+    Construction makes the equality exact, not probabilistic:
+
+    * the input table is staged as ``dup_copies`` complete file sets
+      (``stage_files`` files each) and streamed with ``maxFilesPerTrigger``
+      — every row arrives >1 time, usually in DIFFERENT microbatches, so
+      ``dropDuplicates`` exercises real cross-batch state, not
+      within-batch distinct;
+    * the watermark horizon (default 10 years) exceeds any fixture's
+      timestamp span, so dedup state is never evicted mid-stream — the
+      watermark code path runs, but no duplicate can slip past an eviction
+      and break determinism;
+    * foreachBatch upserts per-group counts into a versioned parquet state
+      (read previous epoch + merge + write next — the idempotent-sink
+      pattern); after ``availableNow`` drains, the last epoch's state is
+      exactly the global aggregate regardless of how files were batched.
+
+    At scale the same shape holds: state is one row per group (not per
+    key) in the sink, per-key dedup state is Spark-managed and
+    watermark-bounded in production (shrink the horizon to the real
+    late-data bound), and the sink merge is a broadcast-sized join.
+    """
+    batch_df = spark.read.parquet(table_path)
+    stage_dir = f"{work_dir}/stage"
+    for _ in range(dup_copies):
+        batch_df.repartition(stage_files).write.mode("append").parquet(stage_dir)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(stage_dir)
+        # event-time watermarks require TIMESTAMP (ltz); parquet fixtures
+        # may carry TIMESTAMP_NTZ
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates([key_col])
+    )
+
+    state: dict[str, str] = {}
+
+    def upsert(mb: DataFrame, epoch_id: int) -> None:
+        counts = mb.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        if "latest" in state:
+            prev = mb.sparkSession.read.parquet(state["latest"])
+            counts = (
+                prev.unionByName(counts)
+                .groupBy(group_col)
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        path = f"{work_dir}/state_{epoch_id}"
+        counts.write.mode("overwrite").parquet(path)
+        state["latest"] = path
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if "latest" not in state:
+        raise RuntimeError(f"stream produced no microbatches from {stage_dir}")
+    return spark.read.parquet(state["latest"])
 
 
 def session_ingest_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:

@@ -367,3 +367,98 @@ def test_multimodal_features_deterministic(spark):
     # deterministic: same payload -> same feature
     again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
     assert all(again[i] == rows[i]["feature"] for i in rows)
+
+
+def test_multimodal_expected_matches_spark_kernel(spark):
+    """Drift gate (round-3 advice): the fixture generator's precomputed
+    multimodal oracle must equal the real mapInPandas kernel's aggregate —
+    a kernel change now fails here at test time, not at bench time."""
+    import pandas as pd
+
+    from kgx.extras.multimodal import extract_features, synthesize_media
+    from kgx.fixtures.gen import expected_multimodal_features
+
+    got = (
+        extract_features(synthesize_media(spark, 64))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.sum(F.element_at("feature", 1)), 4).alias("f0_sum"),
+        )
+        .orderBy("kind")
+        .toPandas()
+    )
+    exp = expected_multimodal_features(64)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+# --- hybrid bucket edges (mega-bucket star) ---------------------------------
+
+
+def test_simhash_max_hamming_guard(spark):
+    from kgx.extras.dedup import simhash_dedup
+
+    df = spark.createDataFrame([(0, "a"), (1, "b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="complete-candidate"):
+        simhash_dedup(df, "text", "doc_id", max_hamming=4)
+
+
+def test_bucket_edges_k_roots(spark):
+    """Mega-buckets fan star edges to the K smallest ids; small buckets
+    stay complete all-pairs."""
+    from kgx.extras.dedup import _bucket_edges
+
+    mega = spark.createDataFrame([(0, i) for i in range(12)], "b int, id long")
+    e1 = {(r.src, r.dst) for r in _bucket_edges(mega, ["b"], "id", star_roots=1).collect()}
+    e2 = {(r.src, r.dst) for r in _bucket_edges(mega, ["b"], "id", star_roots=2).collect()}
+    assert e1 == {(i, 0) for i in range(1, 12)}
+    assert e2 == e1 | {(i, 1) for i in range(2, 12)}
+
+    small = spark.createDataFrame([(0, i) for i in range(5)], "b int, id long")
+    es = {(r.src, r.dst) for r in _bucket_edges(small, ["b"], "id").collect()}
+    assert es == {(a, c) for a in range(5) for c in range(5) if a < c}
+
+
+def test_mega_bucket_second_root_recall(spark):
+    """Adversarial mega-bucket (round-3 verdict item, measured): a near-dup
+    family NOT containing the bucket minimum is missed by the single-root
+    star but recovered by the second root.  A family containing neither of
+    the K roots would still be missed — the documented residual."""
+    from kgx.canon.cc import connected_components
+    from kgx.extras.dedup import _bucket_edges, jaccard_pairs_udf
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    base_b = "one two three four five six seven eight nine ten eleven " * 6
+    texts = {0: base_a, 5: base_a + "tail", 1: base_b, 7: base_b + "tail"}
+    for i in range(12):
+        texts.setdefault(i, " ".join(f"w{i}x{j}" for j in range(40)))
+
+    ids = spark.createDataFrame([(0, i) for i in range(12)], "b int, id long")
+    txt = spark.createDataFrame(
+        [(i, t) for i, t in sorted(texts.items())], "tid long, text string"
+    )
+
+    def components(star_roots: int) -> dict:
+        cand = _bucket_edges(ids, ["b"], "id", star_roots=star_roots)
+        ta = txt.select(F.col("tid").alias("src"), F.col("text").alias("ta"))
+        tb = txt.select(F.col("tid").alias("dst"), F.col("text").alias("tb"))
+        verified = (
+            cand.join(ta, "src")
+            .join(tb, "dst")
+            .withColumn("j", jaccard_pairs_udf("ta", "tb"))
+            .filter(F.col("j") >= 0.8)
+            .select("src", "dst")
+        )
+        return {r.node_id: r.component_id for r in connected_components(verified).collect()}
+
+    c1 = components(1)
+    assert c1.get(0) == c1.get(5) is not None  # family holding root0: found
+    assert c1.get(7) is None  # family holding only root1: MISSED at K=1
+
+    c2 = components(2)
+    assert c2[0] == c2[5]
+    assert c2[1] == c2[7]  # recovered through the second root
+    assert c2[0] != c2[1]  # distinct families stay distinct
