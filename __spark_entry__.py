@@ -290,9 +290,9 @@ def q_string_funcs(spark, sf_dir):  # I1: string surface over documents
     )
 
 
-def q_hash_sha256(spark, sf_dir):  # I2: sha2 (the invariant primitive)
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha")).orderBy("doc_id")
+# (the former hash_sha256 query was folded out for the 50-query driver
+# budget: sha2's driver evidence lives on in kg_sha_invariant — sha256 over
+# the corpus scan — and dedup_exact's COUNT(DISTINCT SHA256(text)) oracle)
 
 
 def q_json_extract(spark, sf_dir):  # I6: JSON in events.props
@@ -662,6 +662,40 @@ def q_dedup_simhash_docs(spark, sf_dir):  # planted simhash dups (value oracle)
     )
 
 
+def q_dedup_embedding_docs(spark, sf_dir):  # planted cosine dups (value oracle)
+    from kgx.extras.dedup import embedding_dedup
+
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # plant one SCALED duplicate (x1.02 per component: different bytes ->
+    # survives the exact digest pre-pass; cosine exactly 1 and identical
+    # hyperplane sign pattern -> found through the LSH + verify path) per
+    # 25th vector, and one EXACT copy per (25th+13) vector (collapsed by
+    # the pre-pass).  Oracle-checkable invariant: every planted vector
+    # lands in its source's cluster.
+    scaled = em.filter((F.col("vec_id") % 25) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.02)).cast("float")).alias("embedding"),
+    )
+    exact = em.filter((F.col("vec_id") % 25) == 13).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    clusters = embedding_dedup(
+        em.unionByName(scaled).unionByName(exact), "embedding", "vec_id", dim=64
+    )
+    src_of = F.when(F.col("vec_id") >= 200000, F.col("vec_id") - 200000).otherwise(
+        F.col("vec_id") - 100000
+    )
+    planted = clusters.filter(F.col("vec_id") >= 100000).select(
+        "vec_id", src_of.alias("__src"), F.col("cluster_id").alias("__pc")
+    )
+    srcs = clusters.select(F.col("vec_id").alias("__src"), F.col("cluster_id").alias("__sc"))
+    return (
+        planted.join(srcs, "__src")
+        .select("vec_id", (F.col("__pc") == F.col("__sc")).alias("same_cluster"))
+        .orderBy("vec_id")
+    )
+
+
 def q_cube_revenue(spark, sf_dir):  # E6: cube (all grouping sets)
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -762,7 +796,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_orders": q_except_orders,
         "intersect_users": q_intersect_users,
         "string_funcs": q_string_funcs,
-        "hash_sha256": q_hash_sha256,
         "json_extract": q_json_extract,
         "date_trunc_counts": q_date_trunc_counts,
         "math_exprs": q_math_exprs,
@@ -790,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "dedup_minhash_docs": q_dedup_minhash_docs,
         "dedup_simhash_docs": q_dedup_simhash_docs,
+        "dedup_embedding_docs": q_dedup_embedding_docs,
         "multimodal_features": q_multimodal_features,
         "cube_revenue": q_cube_revenue,
         "pivot_status": q_pivot_status,
@@ -911,9 +945,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
                    CAST(LEN(REGEXP_EXTRACT_ALL(text, '\d+')) AS BIGINT) AS n_numbers
             FROM documents ORDER BY doc_id
-        """,
-        "hash_sha256": """
-            SELECT doc_id, SHA256(text) AS text_sha FROM documents ORDER BY doc_id
         """,
         "json_extract": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
@@ -1114,6 +1145,15 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": f"""
             SELECT kind, n, total_bytes, f0_sum
             FROM {_fx('multimodal_expected')} ORDER BY kind
+        """,
+        # dedup_embedding_docs: same planted-invariant shape as minhash
+        "dedup_embedding_docs": """
+            SELECT vec_id + 100000 AS vec_id, TRUE AS same_cluster
+            FROM embeddings WHERE vec_id % 25 = 0
+            UNION ALL
+            SELECT vec_id + 200000 AS vec_id, TRUE AS same_cluster
+            FROM embeddings WHERE vec_id % 25 = 13
+            ORDER BY vec_id
         """,
         # dedup_simhash_docs: same planted-invariant shape as minhash
         "dedup_simhash_docs": """

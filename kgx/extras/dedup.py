@@ -16,6 +16,9 @@
   Hamming distance ≤ 3 found via 4×16-bit chunk banding (any chunk equal,
   complete by pigeonhole), same hybrid small-all-pairs/star candidate
   shape, ``bit_count`` XOR verify (pure JVM), CC → cluster ids.
+* :func:`embedding_dedup` — cosine near-dup over an ``array<float>``
+  column: random-hyperplane LSH bands (kgx.extras.similarity), the same
+  hybrid candidate shape, exact-cosine JVM verify, CC → cluster ids.
 
 All Python work is Arrow-batched (pandas UDFs); joins/groupBys are JVM.
 """
@@ -242,6 +245,88 @@ def minhash_dedup(
     comps = connected_components(exact_edges.unionByName(verified))
     clusters = comps.select(F.col("node_id").alias("__id"), F.col("component_id").alias("cluster_id"))
     # singletons (no near-dup) keep their own id as cluster id
+    return (
+        ids.select("__id")
+        .join(clusters, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("cluster_id", F.col("__id")).alias("cluster_id"),
+        )
+    )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    cosine_threshold: float = 0.95,
+    n_tables: int = 8,
+) -> DataFrame:
+    """-> (id_col, cluster_id): rows whose embeddings are cosine-similar
+    (≥ threshold, transitively) share a cluster_id (the min id of the
+    cluster).  The embedding-cosine member of the dedup family — same plan
+    shape as :func:`minhash_dedup` / :func:`simhash_dedup`, with the
+    random-hyperplane LSH of kgx.extras.similarity as the band generator:
+
+    1. EXACT pre-pass on a digest of the vector (sha256 of the
+       comma-joined components — the shuffle carries a 32-byte key, never
+       the vector); byte-identical embeddings collapse to one
+       representative.
+    2. Random-hyperplane signatures over unique vectors only
+       (``_signature_udf`` — one einsum per Arrow batch), exploded to
+       (table_id, bucket) band rows.  Sign patterns are scale-invariant,
+       so positively-scaled copies land in identical buckets by
+       construction.
+    3. HYBRID candidate edges per (table_id, bucket) (_bucket_edges):
+       all-pairs in small buckets, K-root star above.
+    4. Exact-cosine verify on candidate edges only (vectors fetched by two
+       post-dedup id joins; zip_with/aggregate JVM HOFs — no Python).
+    5. CC over exact edges ∪ verified edges; singletons keep their own id.
+
+    Approximation boundary (same as every LSH dedup here): a true pair
+    must share ≥1 bucket across the ``n_tables`` independent tables —
+    P(miss) = (1-(1-θ/π)^8)^tables, <1% at θ≈25°/8 tables — and
+    mega-bucket pairs ride the K-root star (see STAR_ROOTS).
+    """
+    from kgx.extras.similarity import _signature_udf, with_cosine
+
+    ids = df.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__vec"))
+
+    # 1. exact pre-pass: shuffle the digest, never the vector
+    wd = Window.partitionBy("__digest")
+    digests = (
+        ids.withColumn(
+            "__digest",
+            F.sha2(F.concat_ws(",", F.transform("__vec", lambda x: x.cast("string"))), 256),
+        )
+        .withColumn("__rep", F.min("__id").over(wd))
+    )
+    exact_edges = (
+        digests.filter(F.col("__id") != F.col("__rep"))
+        .select(F.col("__id").alias("src"), F.col("__rep").alias("dst"))
+    )
+    reps = digests.filter(F.col("__id") == F.col("__rep")).select("__id", "__vec")
+
+    # 2. hyperplane bands over unique vectors only
+    sig = _signature_udf(dim, n_tables)
+    bands = reps.withColumn("__sig", sig(F.col("__vec"))).select(
+        "__id", F.posexplode("__sig").alias("table_id", "bucket")
+    )
+
+    # 3. hybrid candidate edges; 4. JVM cosine verify (vectors joined by id
+    # AFTER pair dedup — each distinct edge fetches each side once)
+    cand = _bucket_edges(bands, ["table_id", "bucket"], "__id")
+    va = reps.select(F.col("__id").alias("src"), F.col("__vec").alias("__va"))
+    vb = reps.select(F.col("__id").alias("dst"), F.col("__vec").alias("__vb"))
+    verified = (
+        with_cosine(cand.join(va, "src").join(vb, "dst"), "__va", "__vb")
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("src", "dst")
+    )
+
+    comps = connected_components(exact_edges.unionByName(verified))
+    clusters = comps.select(F.col("node_id").alias("__id"), F.col("component_id").alias("cluster_id"))
     return (
         ids.select("__id")
         .join(clusters, "__id", "left")

@@ -462,3 +462,32 @@ def test_mega_bucket_second_root_recall(spark):
     assert c2[0] == c2[5]
     assert c2[1] == c2[7]  # recovered through the second root
     assert c2[0] != c2[1]  # distinct families stay distinct
+
+
+def test_embedding_dedup_clusters(spark):
+    """Cosine near-dup family: exact copies collapse in the pre-pass,
+    positively-scaled copies ride LSH+verify (sign-invariant buckets,
+    cosine 1), negated vectors (cosine -1) must NOT cluster."""
+    import numpy as np
+
+    from kgx.extras.dedup import embedding_dedup
+
+    rng = np.random.default_rng(7)
+    base = {i: rng.normal(size=16).astype("float32") for i in range(6)}
+    rows = [(i, [float(x) for x in v]) for i, v in base.items()]
+    rows += [
+        (10, [float(x) for x in base[0]]),          # exact copy of 0
+        (11, [float(x) * 1.5 for x in base[1]]),    # scaled copy of 1 (cos=1)
+        (12, [float(-x) for x in base[2]]),         # negation of 2 (cos=-1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r.cluster_id
+        for r in embedding_dedup(df, "embedding", "vec_id", dim=16).collect()
+    }
+    assert got[10] == got[0]
+    assert got[11] == got[1]
+    assert got[12] != got[2]
+    assert got[0] != got[1] != got[2]
+    # singletons keep their own id
+    assert got[3] == 3 and got[4] == 4 and got[5] == 5
