@@ -78,3 +78,25 @@ def test_rerun_is_deterministic(spark, tiny_dir, outputs):
 def test_links_are_top1_per_mention(outputs):
     dup = outputs["links"].groupBy("mention_id").count().filter(F.col("count") > 1)
     assert dup.count() == 0
+
+
+def test_corpus_stage_failure_cancels_background_cc(spark, tiny_dir, monkeypatch):
+    """If a corpus stage raises, the daemon CC thread must not keep running
+    Spark jobs unobserved: run_pipeline cancels its job group and joins the
+    thread before re-raising (round-3 advice item)."""
+    import threading
+
+    import kgx.pipeline as pl
+
+    def boom(*a, **k):
+        raise RuntimeError("link stage failed")
+
+    monkeypatch.setattr(pl, "link_entities", boom)
+    cfg = pl.PipelineConfig(
+        source_uri=f"{tiny_dir}/source_files.parquet",
+        dict_uri=f"{tiny_dir}/compound_dict.parquet",
+        num_partitions=4,
+    )
+    with pytest.raises(RuntimeError, match="link stage failed"):
+        pl.run_pipeline(spark, cfg)
+    assert not any(t.name == "kgx-cc" and t.is_alive() for t in threading.enumerate())
