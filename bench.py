@@ -50,8 +50,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 _SKIP_SCALING = os.environ.get("KGX_SKIP_SCALING") == "1"
-# scaling2 (4.8M files) is the gate corpus as of round 3: the round-2/3
-# speedups shrank the parallel fraction on the 2.4M corpus below what a
+# scaling3 (7.2M files) is the gate corpus as of round 3: the round-2/3
+# speedups shrank the parallel fraction on smaller corpora below what a
 # >=0.8 1->4-executor efficiency needs at fixed serial cost (BASELINE.md
 # SCALES sizing rule: more data per executor, not code, restores it)
 BENCH_SCALE = os.environ.get("KGX_BENCH_SCALE", "bench" if _SKIP_SCALING else "scaling3")
