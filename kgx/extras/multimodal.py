@@ -6,7 +6,9 @@ Arrow-batched ``mapInPandas`` operators with correct batch shapes — while
 the codec kernels are deterministic fakes behind ``KGX_FAKE_CODECS`` (the
 sandbox ships no image/audio libraries): each fake derives its output from
 sha256 of the payload bytes, so tests are stable and the real decoder can
-drop in without touching any plan.
+drop in without touching any plan.  Operators: :func:`extract_features`
+(decode + feature vector), :func:`resize_images` (1→1 payload transform),
+:func:`sample_frames` (1→N frame explode — the UDTF shape).
 """
 
 from __future__ import annotations
@@ -104,6 +106,96 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, width int, height int, payload binary, ok boolean"
+)
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, ts_ms int, frame binary"
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """media (MEDIA_SCHEMA) -> resized image payloads via mapInPandas.
+
+    Plumbing is real (Arrow binary in/out, one python call per batch,
+    non-image rows pass through with ok=false); the resample kernel is the
+    deterministic fake (sha256-seeded bytes of exactly width*height length)
+    behind KGX_FAKE_CODECS — a PIL ``Image.resize`` drops into
+    ``_resize_real`` without touching the plan."""
+    fake = os.environ.get("KGX_FAKE_CODECS", "1") == "1"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, oks = [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                if kind != "image":
+                    payloads.append(None)
+                    oks.append(False)
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real image resize requires PIL; run with "
+                        "KGX_FAKE_CODECS=1 (default) for the fake kernel"
+                    )
+                seed = hashlib.sha256(
+                    bytes(payload or b"") + f":{width}x{height}".encode()
+                ).digest()
+                reps = (width * height) // len(seed) + 1
+                payloads.append((seed * reps)[: width * height])
+                oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": width,
+                    "height": height,
+                    "payload": payloads,
+                    "ok": oks,
+                }
+            )
+
+    return media.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """media (MEDIA_SCHEMA) -> 1→N frame rows per video via mapInPandas
+    (the UDTF shape: one input row explodes to ``min(duration/every_ms,
+    max_frames)`` output rows; non-video rows emit nothing).
+
+    Frame extraction is the deterministic fake (sha256(payload, ts) bytes)
+    behind KGX_FAKE_CODECS; a libav reader drops in without touching the
+    plan, partitioning, or batch shape."""
+    fake = os.environ.get("KGX_FAKE_CODECS", "1") == "1"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "video":
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame sampling requires libav; run with "
+                        "KGX_FAKE_CODECS=1 (default) for the fake kernel"
+                    )
+                duration = int((meta or {}).get("duration_ms") or 0)
+                n_frames = min(max(duration // every_ms, 1), max_frames)
+                for i in range(n_frames):
+                    ts = i * every_ms
+                    ids.append(media_id)
+                    idxs.append(i)
+                    tss.append(ts)
+                    frames.append(
+                        hashlib.sha256(bytes(payload or b"") + f"@{ts}".encode()).digest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return media.mapInPandas(kernel, FRAMES_SCHEMA)
 
 
 def synthesize_media(spark, n: int = 64) -> DataFrame:

@@ -491,3 +491,35 @@ def test_embedding_dedup_clusters(spark):
     assert got[0] != got[1] != got[2]
     # singletons keep their own id
     assert got[3] == 3 and got[4] == 4 and got[5] == 5
+
+
+def test_multimodal_resize_and_frames(spark):
+    """resize (1->1 payload transform) and frame-sample (1->N explode)
+    plumbing: correct schemas, pass-through/omission of non-matching kinds,
+    deterministic fake kernels."""
+    from kgx.extras.multimodal import resize_images, sample_frames, synthesize_media
+
+    media = synthesize_media(spark, 30)
+
+    rs = resize_images(media, width=8, height=4).collect()
+    assert len(rs) == 30
+    imgs = [r for r in rs if r.kind == "image"]
+    assert imgs and all(r.ok and len(bytes(r.payload)) == 32 for r in imgs)
+    assert all(not r.ok and r.payload is None for r in rs if r.kind != "image")
+    again = resize_images(media, width=8, height=4).collect()
+    assert sorted((r.media_id, bytes(r.payload or b"")) for r in again) == sorted(
+        (r.media_id, bytes(r.payload or b"")) for r in rs
+    )
+
+    fr = sample_frames(media, every_ms=1000, max_frames=4).collect()
+    vids = {r.media_id for r in media.filter("kind = 'video'").collect()}
+    assert {r.media_id for r in fr} == vids
+    by: dict = {}
+    for r in fr:
+        by.setdefault(r.media_id, []).append(r)
+    for mid, rows in by.items():
+        # duration_ms = 1000*(1+media_id) -> min(1+media_id, 4) frames
+        assert len(rows) == min(1 + mid, 4)
+        assert sorted(r.frame_idx for r in rows) == list(range(len(rows)))
+        assert all(len(bytes(r.frame)) == 32 for r in rows)
+        assert all(r.ts_ms == r.frame_idx * 1000 for r in rows)
