@@ -754,13 +754,20 @@ def q_stream_dedup_counts(spark, sf_dir):  # J1+J2+J5 vs a batch value oracle
     streamed_dedup_counts).  event_id is unique in the batch table, so the
     deduped streamed total equals the plain batch GROUP BY — the DuckDB
     oracle."""
+    import shutil
     import tempfile
 
     from kgx.streaming.incremental import streamed_dedup_counts
 
     work = tempfile.mkdtemp(prefix="kgx_stream_q_")
-    out = streamed_dedup_counts(spark, f"{sf_dir}/events.parquet", work)
-    return out.select("event_type", "n").orderBy("event_type")
+    try:
+        out = streamed_dedup_counts(spark, f"{sf_dir}/events.parquet", work)
+        # pin the (tiny: one row per event_type) result into block storage so
+        # the work dir — staged copies + state parquet — can be deleted now
+        # instead of leaking a full staged table per bench/correctness run
+        return out.select("event_type", "n").orderBy("event_type").localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_multimodal_features(spark, sf_dir):  # value-oracled vs precomputed expected features

@@ -39,11 +39,17 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     hot_threshold: int = 50_000,
+    stop=None,
 ) -> DataFrame:
     """edges(src long, dst long, undirected) -> (node_id, component_id).
 
     Every node present in ``edges`` gets a row; component_id = min node id
     reachable (for the bipartite KG graph: the min compound id).
+
+    ``stop``: optional zero-arg callable checked between rounds — when it
+    returns True the loop raises instead of submitting further Spark jobs
+    (cooperative cancellation for callers running this on a background
+    thread, e.g. kgx.pipeline's concurrent canonicalization).
     """
     adj = (
         edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
@@ -64,6 +70,8 @@ def connected_components(
 
     changed = -1  # sentinel: stays -1 only if max_iter <= 0 (loop never ran)
     for _ in range(max_iter):
+        if stop is not None and stop():
+            raise RuntimeError("connected_components cancelled by stop flag")
         nbr_labels = hot_cold_join(
             adj,
             labels.select(F.col("node").alias("nbr"), F.col("label").alias("nbr_label")),

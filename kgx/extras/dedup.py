@@ -293,12 +293,29 @@ def embedding_dedup(
 
     ids = df.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__vec"))
 
-    # 1. exact pre-pass: shuffle the digest, never the vector
+    # 1. exact pre-pass: shuffle the digest, never the vector.  NULL
+    # elements are encoded explicitly ("null") and the length is prefixed —
+    # concat_ws silently DROPS null array elements, so without this
+    # [1.0, null] and [null, 1.0] (and [1.0]) would collide into one digest
+    # and be wrongly merged as byte-identical.
     wd = Window.partitionBy("__digest")
     digests = (
         ids.withColumn(
             "__digest",
-            F.sha2(F.concat_ws(",", F.transform("__vec", lambda x: x.cast("string"))), 256),
+            F.sha2(
+                F.concat_ws(
+                    "|",
+                    F.coalesce(F.size("__vec").cast("string"), F.lit("-1")),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            "__vec",
+                            lambda x: F.coalesce(x.cast("string"), F.lit("null")),
+                        ),
+                    ),
+                ),
+                256,
+            ),
         )
         .withColumn("__rep", F.min("__id").over(wd))
     )

@@ -126,6 +126,13 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
     fake = os.environ.get("KGX_FAKE_CODECS", "1") == "1"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fail fast on misconfiguration: raise before touching any row, not
+        # mid-loop on the first image of some batch
+        if not fake:
+            raise NotImplementedError(
+                "real image resize requires PIL; run with "
+                "KGX_FAKE_CODECS=1 (default) for the fake kernel"
+            )
         for pdf in batches:
             payloads, oks = [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
@@ -133,11 +140,6 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
                     payloads.append(None)
                     oks.append(False)
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real image resize requires PIL; run with "
-                        "KGX_FAKE_CODECS=1 (default) for the fake kernel"
-                    )
                 seed = hashlib.sha256(
                     bytes(payload or b"") + f":{width}x{height}".encode()
                 ).digest()
@@ -169,6 +171,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -
     fake = os.environ.get("KGX_FAKE_CODECS", "1") == "1"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fail fast on misconfiguration (see resize_images)
+        if not fake:
+            raise NotImplementedError(
+                "real frame sampling requires libav; run with "
+                "KGX_FAKE_CODECS=1 (default) for the fake kernel"
+            )
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
             for media_id, kind, payload, meta in zip(
@@ -176,11 +184,6 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -
             ):
                 if kind != "video":
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real frame sampling requires libav; run with "
-                        "KGX_FAKE_CODECS=1 (default) for the fake kernel"
-                    )
                 duration = int((meta or {}).get("duration_ms") or 0)
                 n_frames = min(max(duration // every_ms, 1), max_frames)
                 for i in range(n_frames):

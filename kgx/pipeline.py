@@ -41,6 +41,11 @@ class PipelineConfig:
     run_id: str = "r0"
     num_partitions: int = 32
     enable_fuzzy: bool = True
+    # data-dependent broadcast guard for the fuzzy channel's accepted
+    # (surface -> compound) map: measured per run in link_entities, with a
+    # tested shuffle-join fallback above this bound (kgx/stages/link.py).
+    # Exposed here so a spark-submit user can tune it per corpus.
+    fuzzy_broadcast_max_rows: int = 2_000_000
     table_format: str = "parquet"  # "iceberg" in production
     cc_hot_threshold: int = 50_000
 
@@ -97,6 +102,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
 
     cc_box: dict = {}
     cc_thread: threading.Thread | None = None
+    cc_stop = threading.Event()
     cc_job_group = f"kgx-cc-{cfg.run_id}"
     if not resumed("components"):
 
@@ -110,7 +116,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
                 )
                 edges = build_edges(dict_df)
                 cc_box["components"] = connected_components(
-                    edges, hot_threshold=cfg.cc_hot_threshold
+                    edges, hot_threshold=cfg.cc_hot_threshold, stop=cc_stop.is_set
                 )
             except BaseException as e:  # surfaced on join in the main thread
                 cc_box["error"] = e
@@ -119,16 +125,26 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
         cc_thread.start()
 
     # If a corpus stage fails, don't leave the background CC competing for
-    # executor slots during error handling: cancel its job group, join the
+    # executor slots during error handling: set the cooperative stop flag
+    # (the CC loop checks it between rounds, so it cannot submit NEW jobs
+    # after this point), cancel any in-flight jobs in the group, join the
     # thread, and surface its own error (if any) as context.
     def _cancel_cc(main_exc: BaseException) -> None:
         if cc_thread is None or not cc_thread.is_alive():
             return
+        cc_stop.set()
         try:
             spark.sparkContext.cancelJobGroup(cc_job_group)
         except Exception:
             pass  # the session may already be unusable; main_exc still raises
         cc_thread.join(timeout=60)
+        if cc_thread.is_alive():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "background CC thread did not exit within 60s of cancellation"
+            )
+            main_exc.add_note("background CC thread still running after cancel+60s join")
         if "error" in cc_box:
             main_exc.add_note(f"background CC also failed: {cc_box['error']!r}")
 
@@ -174,7 +190,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
         if resumed("links"):
             links = committed_output(spark, cfg, "links")
         else:
-            links = link_entities(mentions, dict_df, enable_fuzzy=cfg.enable_fuzzy)
+            links = link_entities(
+                mentions,
+                dict_df,
+                enable_fuzzy=cfg.enable_fuzzy,
+                fuzzy_broadcast_max_rows=cfg.fuzzy_broadcast_max_rows,
+            )
             links = stage_checkpoint(spark, links, "links", cfg)
             if cfg.run_dir is None:
                 # stage 4 fans out into several triple projections over

@@ -113,16 +113,40 @@ def streamed_dedup_counts(
       timestamp span, so dedup state is never evicted mid-stream — the
       watermark code path runs, but no duplicate can slip past an eviction
       and break determinism;
-    * foreachBatch upserts per-group counts into a versioned parquet state
-      (read previous epoch + merge + write next — the idempotent-sink
-      pattern); after ``availableNow`` drains, the last epoch's state is
-      exactly the global aggregate regardless of how files were batched.
+    * foreachBatch upserts per-group counts into a versioned parquet state:
+      the previous state is the highest ``state_<N>`` directory ON DISK
+      with ``N < epoch_id`` (never an in-memory pointer), each epoch writes
+      ``state_<epoch_id>`` with overwrite, and state dirs older than the
+      predecessor just read are deleted (the predecessor itself is kept so
+      a retry of the current epoch can re-read it — live state is bounded
+      at two dirs).  Keying the read off the durable ``epoch_id`` makes a
+      RETRIED microbatch exact — the retry re-reads the same predecessor
+      and overwrites its own partial output — which a driver-side running
+      dict cannot guarantee (it may already include the failed attempt).  After ``availableNow`` drains, the surviving state
+      is exactly the global aggregate regardless of how files were batched.
+      Restart-safety across driver CRASHES is still bounded by parquet
+      non-atomicity: a crash between the state write and the checkpoint
+      commit replays the epoch (exact, by the keying above), but a crash
+      mid-write can leave a torn ``state_<N>`` dir — a transactional table
+      format (Iceberg MERGE) is the production sink for that gap.
+
+    ``work_dir`` must be EMPTY (or absent): the staged file sets and the
+    stream checkpoint are keyed to one run — reusing a dirty work_dir would
+    stage a third copy set while the old checkpoint skips it, silently
+    shifting counts.  State listing uses the local filesystem (this
+    harness); an object-store deployment swaps in its listing API.
 
     At scale the same shape holds: state is one row per group (not per
     key) in the sink, per-key dedup state is Spark-managed and
     watermark-bounded in production (shrink the horizon to the real
     late-data bound), and the sink merge is a broadcast-sized join.
     """
+    import os
+
+    if os.path.isdir(work_dir) and os.listdir(work_dir):
+        raise ValueError(
+            f"streamed_dedup_counts requires an empty work_dir, got non-empty {work_dir!r}"
+        )
     batch_df = spark.read.parquet(table_path)
     stage_dir = f"{work_dir}/stage"
     for _ in range(dup_copies):
@@ -139,20 +163,9 @@ def streamed_dedup_counts(
         .dropDuplicates([key_col])
     )
 
-    state: dict[str, str] = {}
-
     def upsert(mb: DataFrame, epoch_id: int) -> None:
         counts = mb.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
-        if "latest" in state:
-            prev = mb.sparkSession.read.parquet(state["latest"])
-            counts = (
-                prev.unionByName(counts)
-                .groupBy(group_col)
-                .agg(F.sum("n").cast("long").alias("n"))
-            )
-        path = f"{work_dir}/state_{epoch_id}"
-        counts.write.mode("overwrite").parquet(path)
-        state["latest"] = path
+        _merge_epoch_state(work_dir, counts, epoch_id, group_col)
 
     q = (
         stream.writeStream.foreachBatch(upsert)
@@ -161,9 +174,48 @@ def streamed_dedup_counts(
         .start()
     )
     q.awaitTermination()
-    if "latest" not in state:
+    epochs = _state_epochs(work_dir)
+    if not epochs:
         raise RuntimeError(f"stream produced no microbatches from {stage_dir}")
-    return spark.read.parquet(state["latest"])
+    return spark.read.parquet(f"{work_dir}/state_{epochs[-1]}")
+
+
+def _state_epochs(work_dir: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(work_dir):
+        return []
+    return sorted(
+        int(d.rsplit("_", 1)[1])
+        for d in os.listdir(work_dir)
+        if d.startswith("state_") and d.rsplit("_", 1)[1].isdigit()
+    )
+
+
+def _merge_epoch_state(work_dir: str, counts: DataFrame, epoch_id: int, group_col: str) -> None:
+    """Merge one microbatch's per-group counts into the versioned state.
+
+    Idempotent per epoch: the previous state is the highest ``state_<N>``
+    ON DISK with ``N < epoch_id`` (never an in-memory pointer), and this
+    epoch's output overwrites ``state_<epoch_id>`` — so a retried epoch
+    re-reads the same predecessor and replaces its own partial write.
+    Cleanup keeps the predecessor that was read (a retry of THIS epoch
+    still needs it) and deletes everything older, bounding live state dirs
+    at two regardless of stream length.
+    """
+    import shutil
+
+    prior = [n for n in _state_epochs(work_dir) if n < epoch_id]
+    if prior:
+        prev = counts.sparkSession.read.parquet(f"{work_dir}/state_{prior[-1]}")
+        counts = (
+            prev.unionByName(counts)
+            .groupBy(group_col)
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+    counts.write.mode("overwrite").parquet(f"{work_dir}/state_{epoch_id}")
+    for n in prior[:-1]:  # superseded BEFORE the predecessor; keep prior[-1]
+        shutil.rmtree(f"{work_dir}/state_{n}", ignore_errors=True)
 
 
 def session_ingest_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:

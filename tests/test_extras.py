@@ -493,6 +493,28 @@ def test_embedding_dedup_clusters(spark):
     assert got[3] == 3 and got[4] == 4 and got[5] == 5
 
 
+def test_embedding_dedup_null_placement_not_merged(spark):
+    """The exact pre-pass digest must encode nulls explicitly: concat_ws
+    drops null array elements, so [1,null,2] / [null,1,2] / [1,2] would
+    otherwise collide into one digest and be wrongly merged (round-4
+    advice)."""
+    from kgx.extras.dedup import embedding_dedup
+
+    rows = [
+        (0, [1.0, None, 2.0]),
+        (1, [None, 1.0, 2.0]),
+        (2, [1.0, 2.0, None]),
+        (3, [1.0, None, 2.0]),  # true byte-identical copy of 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r.cluster_id
+        for r in embedding_dedup(df, "embedding", "vec_id", dim=3).collect()
+    }
+    assert got[3] == got[0]  # identical vectors still collapse
+    assert len({got[0], got[1], got[2]}) == 3  # null placement kept distinct
+
+
 def test_multimodal_resize_and_frames(spark):
     """resize (1->1 payload transform) and frame-sample (1->N explode)
     plumbing: correct schemas, pass-through/omission of non-matching kinds,

@@ -68,6 +68,10 @@ def test_rerun_is_deterministic(spark, tiny_dir, outputs):
         source_uri=f"{tiny_dir}/source_files.parquet",
         dict_uri=f"{tiny_dir}/compound_dict.parquet",
         num_partitions=4,  # different parallelism must not change results
+        # exercise the config-wired fuzzy broadcast guard (round-4 advice):
+        # 0 forces the shuffle-join fallback through PipelineConfig — the
+        # physical join strategy must not change any triple
+        fuzzy_broadcast_max_rows=0,
     )
     again = run_pipeline(spark, cfg)
     a = sorted(map(tuple, outputs["triples"].collect()))
