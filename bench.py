@@ -19,11 +19,18 @@ subprocesses):
    cores, 12 GiB); only the executor COUNT varies, exactly the north
    rule's "N and 4N executors" criterion:
      eff(N→4N) = (T_N / T_4N) / 4
-   The gate pair runs as KGX_BENCH_REPS (default 2) back-to-back repeats
-   with ALTERNATING order — this host's throughput drifts ±10-20% on
+   The gate pair runs as KGX_BENCH_REPS (default 3 — round 4 proved a
+   2-rep median flips on one drifted pair) back-to-back repeats with
+   ALTERNATING order — this host's throughput drifts ±10-20% on
    sustained wide runs, so a single pair is a coin-flip and the protocol
-   median is the estimator (full 5-rep runs + the 2/8-executor ladder
-   live in bench/scaling_protocol.py and BASELINE.md).  Thread-width
+   median is the estimator (full ≥5-rep runs + the 2/8-executor ladder
+   live in bench/scaling_protocol.py; committed raw records under
+   bench/records/ are pooled into ``scaling_efficiency_pooled`` so the
+   BENCH artifact carries the full-sample number alongside the in-run
+   spot check).  The local[32] single-JVM headline run (+P/R) happens
+   BEFORE the executor ladder: round 4 recorded it LAST, after ~40 min
+   of sustained wide subprocesses, and a host slow phase inflated it
+   1.9× over a quiet-host rerun of the same tree.  Thread-width
    local[2/8/32] single-JVM numbers are NOT used for the gate: a shared
    heap makes GC degrade with width (measured 10 s task-GC at local[2]
    vs 148 s at local[8], same work) — an artifact a real multi-executor
@@ -55,7 +62,8 @@ _SKIP_SCALING = os.environ.get("KGX_SKIP_SCALING") == "1"
 # >=0.8 1->4-executor efficiency needs at fixed serial cost (BASELINE.md
 # SCALES sizing rule: more data per executor, not code, restores it)
 BENCH_SCALE = os.environ.get("KGX_BENCH_SCALE", "bench" if _SKIP_SCALING else "scaling3")
-BENCH_REPS = int(os.environ.get("KGX_BENCH_REPS", "2"))
+BENCH_REPS = int(os.environ.get("KGX_BENCH_REPS", "3"))
+RECORDS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench", "records")
 
 # identical job config at every parallelism level — only the core count
 # varies, as in an N vs 4N executor comparison
@@ -156,6 +164,13 @@ def main() -> int:
 
     pipeline: dict = {"fixture_scale": BENCH_SCALE}
     if not _SKIP_SCALING:
+        import statistics
+
+        # local[32] headline FIRST (fresh host window — same reason the
+        # relational suite runs first): the round-4 artifact ran it after
+        # ~40 min of wide subprocesses and recorded a 1.9×-inflated wall
+        t32 = _pipeline_at("local[32]", fixture_dir, with_pr=True)
+
         # the north-rule gate pair: N=1 vs 4N=4 executors, fixed 2-core/12g
         # executor shape, alternating order per rep (drift cancellation)
         w1, w4 = "local-cluster[1,2,12288]", "local-cluster[4,2,12288]"
@@ -168,9 +183,7 @@ def main() -> int:
                 rep_r[w] = _pipeline_at(w, fixture_dir)
                 walls[w].append(rep_r[w])
             effs.append(rep_r[w1]["wall_sec"] / rep_r[w4]["wall_sec"] / 4)
-        import statistics
 
-        t32 = _pipeline_at("local[32]", fixture_dir, with_pr=True)
         pipeline.update(
             {
                 "exec1x2c": walls[w1][-1],
@@ -180,6 +193,31 @@ def main() -> int:
                 "local32": t32,
                 "scaling_efficiency_per_rep": [round(e, 3) for e in effs],
                 "scaling_efficiency_exec_1_to_4": round(statistics.median(effs), 3),
+            }
+        )
+        # pooled estimator: this run's reps + every committed protocol
+        # record for the same corpus (bench/records/*.json, written by
+        # bench/scaling_protocol.py) — the full-sample median no single
+        # drifted pair can flip
+        pooled = list(effs)
+        pooled_files = []
+        if os.path.isdir(RECORDS_DIR):
+            for fn in sorted(os.listdir(RECORDS_DIR)):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(RECORDS_DIR, fn)) as f:
+                        rec = json.load(f)
+                    if rec.get("scale") == BENCH_SCALE:
+                        pooled.extend(rec["eff_exec_1_to_4"]["per_rep"])
+                        pooled_files.append(fn)
+                except (OSError, KeyError, ValueError):
+                    continue  # a malformed record must not sink the bench
+        pipeline.update(
+            {
+                "scaling_efficiency_pooled": round(statistics.median(pooled), 3),
+                "scaling_efficiency_pooled_n": len(pooled),
+                "scaling_efficiency_pooled_records": pooled_files,
             }
         )
         report["value"] = t32["wall_sec"]

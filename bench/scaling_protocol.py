@@ -12,7 +12,15 @@ eff, median, and max-min spread.
 Pass ``--ladder`` to also run the 2- and 8-executor widths once (the
 secondary 2->8 pair is host-ceiling-limited at 16 cores; see BASELINE.md).
 
-Usage: python bench/scaling_protocol.py [repeats=3] [scale=scaling] [--ladder]
+Every run writes its raw report (per-rep walls, run order, wall-clock
+timestamps) to ``bench/records/scaling_<scale>_<stamp>.json`` — committed
+records are the auditable evidence pool behind bench.py's
+``scaling_efficiency_pooled`` field (/tmp does not survive the sandbox;
+round-4's 9-rep sample lived only in BASELINE.md tables).  ``--no-record``
+skips the write (for throwaway probes).
+
+Usage: python bench/scaling_protocol.py [repeats=3] [scale=scaling]
+       [--ladder] [--no-record]
 """
 
 from __future__ import annotations
@@ -66,8 +74,10 @@ def run_once(master: str, fixture_dir: str, settle: int = 20) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--ladder"]
-    ladder = "--ladder" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ladder = "--ladder" in flags
+    record = "--no-record" not in flags
     repeats = int(args[0]) if len(args) > 0 else 3
     scale = args[1] if len(args) > 1 else "scaling"
     from kgx.fixtures.gen import ensure
@@ -76,14 +86,25 @@ def main() -> int:
 
     walls: dict[str, list[float]] = {W1: [], W4: []}
     effs: list[float] = []
+    runs: list[dict] = []  # flat audit trail: order + timestamps per run
     for rep in range(repeats):
         order = (W1, W4) if rep % 2 == 0 else (W4, W1)
         rep_walls = {}
         for w in order:
+            started = time.strftime("%Y-%m-%dT%H:%M:%S")
             t0 = time.monotonic()
             r = run_once(w, fixture_dir)
             rep_walls[w] = r["wall_sec"]
             walls[w].append(r["wall_sec"])
+            runs.append(
+                {
+                    "rep": rep + 1,
+                    "master": w,
+                    "started": started,
+                    "wall_sec": r["wall_sec"],
+                    "triples": r["triples"],
+                }
+            )
             print(
                 f"rep {rep + 1}/{repeats} {w:26s} wall={r['wall_sec']:8.2f}s "
                 f"triples={r['triples']} (run took {time.monotonic() - t0:.0f}s)",
@@ -103,6 +124,7 @@ def main() -> int:
             "median": round(statistics.median(effs), 3),
             "spread": round(max(effs) - min(effs), 3),
         },
+        "runs": runs,
     }
     if ladder:
         report["ladder"] = {w: run_once(w, fixture_dir) for w in LADDER}
@@ -112,6 +134,15 @@ def main() -> int:
             / 4,
             3,
         )
+    if record:
+        import os
+
+        rec_dir = "/root/repo/bench/records"
+        os.makedirs(rec_dir, exist_ok=True)
+        path = f"{rec_dir}/scaling_{scale}_{time.strftime('%Y%m%d_%H%M%S')}.json"
+        with open(path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"record written: {path}", file=sys.stderr)
     print(json.dumps(report, indent=2))
     return 0
 
