@@ -27,6 +27,8 @@ construction — SURVEY §2 B1).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from itertools import accumulate, chain
+from operator import add
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -44,6 +46,13 @@ DETECT_SCHEMA = (
 
 _WS = (" ", "\t")
 _WS_SET = frozenset(_WS)
+
+import re
+
+# capturing twin of TOKEN_RE: one C-level split yields gaps AND tokens
+# interleaved, so token offsets come from length prefix sums (itertools
+# accumulate) instead of a per-match .span() call
+_SPLIT_RE = re.compile("(" + TOKEN_RE.pattern + ")")
 
 # cache of {id(index): (strong ref, first tokens of multi-token terms)} —
 # one dictionary per worker process in practice, so the strong ref pins at
@@ -64,58 +73,152 @@ def _multi_first(index: dict[str, str]) -> frozenset:
     return firsts
 
 
+def _classify_fallback(raw: str, low: str):
+    """Non-lexicon channels, in the kernel's dispatch order: abbrev/formula
+    (uppercase start) -> CAS (digit start, must contain '-') -> systematic
+    morpheme+suffix gate.  Position-independent — memoizable per raw token."""
+    c0 = raw[0]
+    if "A" <= c0 <= "Z":
+        if cl.is_abbrev_like(raw):
+            return ("A",)
+        if cl.is_formula_like(raw):
+            return ("F", low)
+    elif "0" <= c0 <= "9":
+        # CAS shape always contains '-': skip the regex for the pure
+        # number literals that dominate digit-start tokens in code
+        if "-" in raw and cl.is_cas_like(raw):
+            return ("C", low)
+    if len(low) >= 6 and cl._is_systematic_like(low):
+        return ("S", low)
+    return None
+
+
+def _classify(raw: str, index: dict[str, str], multi_first: frozenset):
+    """Token action, a pure function of the RAW token string:
+
+    ``("M", low, mtype|None, fallback)`` — may start a multi-token lexicon
+    term (probe positions i..i+k); ``("H", low, mtype)`` — single-token
+    lexicon hit; ``("A",)`` abbrev candidate; ``("F", low)`` formula;
+    ``("C", low)`` CAS; ``("S", low)`` systematic-like; ``None`` inert.
+    """
+    low = raw.lower()
+    mtype = index.get(low)
+    if low in multi_first:
+        return ("M", low, mtype, _classify_fallback(raw, low))
+    if mtype is not None:
+        return ("H", low, mtype)
+    return _classify_fallback(raw, low)
+
+
+class _TokenMemo(dict):
+    """Per-worker raw-token -> action cache.  Corpus tokens are Zipfian, so
+    ``map(memo.__getitem__, raws)`` classifies a document at C speed with
+    ``__missing__`` firing only on first sight of a token.  Bounded: a
+    pathological all-unique-token corpus clears rather than grows."""
+
+    __slots__ = ("index", "multi_first")
+    _MAX = 200_000
+
+    def __init__(self, index: dict[str, str], multi_first: frozenset):
+        super().__init__()
+        self.index = index
+        self.multi_first = multi_first
+
+    def __missing__(self, raw: str):
+        v = _classify(raw, self.index, self.multi_first)
+        if len(self) >= self._MAX:
+            self.clear()
+        self[raw] = v
+        return v
+
+
+_MEMO_CACHE: dict[int, tuple[dict, "_TokenMemo"]] = {}
+
+
+def _memo_for(index: dict[str, str]) -> "_TokenMemo":
+    cached = _MEMO_CACHE.get(id(index))
+    if cached is not None and cached[0] is index:
+        return cached[1]
+    memo = _TokenMemo(index, _multi_first(index))
+    _MEMO_CACHE[id(index)] = (index, memo)
+    return memo
+
+
 def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
     """Pure-python kernel over one document; unit-testable without Spark.
 
-    Hot-loop layout (round-3 rework, byte-identical output pinned by the
-    golden/property tests): tokenization keeps only ``span()`` per match and
-    slices tokens out of one whole-document ``lower()`` — no per-token
-    ``.group()/.start()/.end()/.lower()`` method calls; inter-token
-    whitespace gates are checked lazily at the handful of positions where a
-    multi-token probe or an "acid" continuation actually needs them (most
-    tokens need no gap information at all); the common single-token path
-    does one dict lookup with no inner loop.
+    Hot-loop layout (round-5 rework, byte-identical output pinned by the
+    golden/property tests and the 50-query oracle):
+
+    * ONE capturing-regex split per document (C) yields gaps and tokens
+      interleaved; token offsets are C-level length prefix sums — no match
+      objects, no per-token ``.span()``/slicing;
+    * every raw token resolves to a memoized ACTION via ``map(dict.
+      __getitem__, raws)`` — classification (lexicon membership, abbrev/
+      formula/CAS shape, systematic gate) runs once per DISTINCT token per
+      worker, not once per occurrence;
+    * the stateful positional loop (greedy multi-token lexicon match,
+      "acid" continuation, abbrev context) visits only the interesting
+      positions — a few percent of tokens on a code corpus.
+
+    Tokens from TOKEN_RE can't start/end with ``,-'`` nor contain separator
+    runs, so ``norm_term(tok) == tok.lower()`` — property-tested in
+    tests/test_normalize.py.
     """
-    spans = [m.span() for m in TOKEN_RE.finditer(text)]
-    n = len(spans)
-    low_text = text.lower()
-    # tokens from TOKEN_RE can't start/end with ,-' nor contain separator
-    # runs, so norm_term(tok) == tok.lower() — property-tested in
-    # tests/test_normalize.py; skips a regex split per token
-    norms = [low_text[s:e] for s, e in spans]
-    multi_first = _multi_first(index)
+    parts = _SPLIT_RE.split(text)
+    raws = parts[1::2]
+    n = len(raws)
+    if not n:
+        return []
+    memo = _memo_for(index)
+    acts = list(map(memo.__getitem__, raws))
+    work = [i for i, a in enumerate(acts) if a is not None]
+    if not work:
+        return []
+
+    # token offsets from the split pieces, all C: text is the alternating
+    # concatenation gap0 + tok0 + gap1 + ... + gapN, so
+    # starts[i] = starts[i-1] + len(tok[i-1]) + len(gap[i])
+    gl = list(map(len, parts[::2]))
+    rl = list(map(len, raws))
+    starts = list(accumulate(chain((gl[0],), map(add, rl[:-1], gl[1:-1]))))
+    ends = list(map(add, starts, rl))
 
     def gap_ws(j: int) -> bool:
         # tokens j and j+1 separated by ≥1 space/tab only (adjacent maximal
-        # matches always have a ≥1-char gap, but keep the < check exact)
-        e = spans[j][1]
-        s2 = spans[j + 1][0]
-        return e < s2 and not text[e:s2].strip(" \t")
+        # matches always have a ≥1-char gap, but keep the non-empty check
+        # exact); the gap string is already split out — no slicing
+        g = parts[2 * j + 2]
+        return g != "" and not g.strip(" \t")
 
     out: list[dict] = []
     dict_spans: list[tuple[int, int, str]] = []  # (start, end, norm) of lexicon hits
     abbrev_toks: list[int] = []
     index_get = index.get
-    is_systematic_like = cl._is_systematic_like  # lru core, skip the wrapper
 
-    i = 0
-    while i < n:
-        cand = norms[i]
-        # greedy leftmost-longest lexicon match; k>1 only where a
-        # multi-token term can possibly start
-        if cand in multi_first:
+    consumed = 0  # first token index not yet consumed by an emission
+    for i in work:
+        if i < consumed:
+            continue
+        a = acts[i]
+        tag = a[0]
+        if tag == "M":
+            # greedy leftmost-longest lexicon match; k>1 only where a
+            # multi-token term can possibly start
+            low = a[1]
             matched = False
             for k in range(min(MAX_TERM_TOKENS, n - i), 0, -1):
                 if k > 1:
                     # n-gram tokens must be separated by spaces/tabs only
                     if not all(gap_ws(j) for j in range(i, i + k - 1)):
                         continue
-                    cand = " ".join(norms[i : i + k])
+                    cand = " ".join(map(str.lower, raws[i : i + k]))
+                    mtype = index_get(cand)
                 else:
-                    cand = norms[i]
-                mtype = index_get(cand)
+                    cand = low
+                    mtype = a[2]
                 if mtype is not None:
-                    s, e = spans[i][0], spans[i + k - 1][1]
+                    s, e = starts[i], ends[i + k - 1]
                     out.append(
                         {
                             "start": s,
@@ -127,85 +230,73 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
                         }
                     )
                     dict_spans.append((s, e, cand))
-                    i += k
+                    consumed = i + k
                     matched = True
                     break
             if matched:
                 continue
-        else:
-            mtype = index_get(cand)
-            if mtype is not None:
-                s, e = spans[i]
-                out.append(
-                    {
-                        "start": s,
-                        "end": e,
-                        "text": text[s:e],
-                        "norm_text": cand,
-                        "mtype": mtype,
-                        "defined_as": None,
-                    }
-                )
-                dict_spans.append((s, e, cand))
-                i += 1
+            a = a[3]  # probe missed: fall through to the non-lexicon channels
+            if a is None:
                 continue
-
-        s, e = spans[i]
-        low = norms[i]
-        # first-char dispatch: abbrev/formula need an uppercase start, CAS a
-        # digit — most tokens are lowercase and skip straight to the
-        # systematic gate without touching those regexes
-        c0 = text[s]
-        if "A" <= c0 <= "Z":
-            raw = text[s:e]
-            if cl.is_abbrev_like(raw):
-                # candidate abbreviation; resolved in pass 2 (doc-local
-                # defs), with a fuzzy-systematic fallback in pass 3
-                abbrev_toks.append(i)
-                i += 1
-                continue
-            if cl.is_formula_like(raw):
-                out.append(
-                    {
-                        "start": s,
-                        "end": e,
-                        "text": raw,
-                        "norm_text": low,
-                        "mtype": "FORMULA",
-                        "defined_as": None,
-                    }
-                )
-                i += 1
-                continue
-        elif "0" <= c0 <= "9":
-            raw = text[s:e]
-            # CAS shape always contains '-': skip the regex for the pure
-            # number literals that dominate digit-start tokens in code
-            if "-" in raw and cl.is_cas_like(raw):
-                # CAS registry number (ChemSpot IDENTIFIER); linked exactly
-                # via the lexicon index when known, else an unlinked span
-                out.append(
-                    {
-                        "start": s,
-                        "end": e,
-                        "text": raw,
-                        "norm_text": low,
-                        "mtype": "IDENTIFIER",
-                        "defined_as": None,
-                    }
-                )
-                i += 1
-                continue
-        if len(low) >= 6 and is_systematic_like(low):
+            tag = a[0]
+        if tag == "H":
+            s, e = starts[i], ends[i]
+            out.append(
+                {
+                    "start": s,
+                    "end": e,
+                    "text": raws[i],
+                    "norm_text": a[1],
+                    "mtype": a[2],
+                    "defined_as": None,
+                }
+            )
+            dict_spans.append((s, e, a[1]))
+            consumed = i + 1
+        elif tag == "A":
+            # candidate abbreviation; resolved in pass 2 (doc-local defs),
+            # with a fuzzy-systematic fallback in pass 3
+            abbrev_toks.append(i)
+            consumed = i + 1
+        elif tag == "F":
+            out.append(
+                {
+                    "start": starts[i],
+                    "end": ends[i],
+                    "text": raws[i],
+                    "norm_text": a[1],
+                    "mtype": "FORMULA",
+                    "defined_as": None,
+                }
+            )
+            consumed = i + 1
+        elif tag == "C":
+            # CAS registry number (ChemSpot IDENTIFIER); linked exactly
+            # via the lexicon index when known, else an unlinked span
+            out.append(
+                {
+                    "start": starts[i],
+                    "end": ends[i],
+                    "text": raws[i],
+                    "norm_text": a[1],
+                    "mtype": "IDENTIFIER",
+                    "defined_as": None,
+                }
+            )
+            consumed = i + 1
+        else:  # "S"
             # "-oic acid" continuation: a systematic-looking token followed
             # by space-adjacent "acid" is one two-token mention
-            if i + 1 < n and norms[i + 1] == "acid" and gap_ws(i):
-                e = spans[i + 1][1]
+            s = starts[i]
+            low = a[1]
+            if i + 1 < n and raws[i + 1].lower() == "acid" and gap_ws(i):
+                e = ends[i + 1]
                 nrm = f"{low} acid"
-                i += 2
+                consumed = i + 2
             else:
+                e = ends[i]
                 nrm = low
-                i += 1
+                consumed = i + 1
             out.append(
                 {
                     "start": s,
@@ -216,15 +307,13 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
                     "defined_as": None,
                 }
             )
-            continue
-        i += 1
 
     # pass 2: abbreviation definitions — "<lexicon mention> (ABBR)"
     end_to_norm = {e: nrm for (_s, e, nrm) in dict_spans}
     defs: dict[str, str] = {}
     for ti in abbrev_toks:
-        s, e = spans[ti]
-        raw = text[s:e]
+        s, e = starts[ti], ends[ti]
+        raw = raws[ti]
         if (
             s >= 2
             and e < len(text)
@@ -240,8 +329,8 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
     # the fuzzy-systematic channel (e.g. a corrupted name in an ALL_CAPS
     # identifier) — ordinary code constants pass neither gate
     for ti in abbrev_toks:
-        s, e = spans[ti]
-        raw = text[s:e]
+        s, e = starts[ti], ends[ti]
+        raw = raws[ti]
         long_norm = defs.get(raw)
         if long_norm is not None:
             out.append(
@@ -280,16 +369,21 @@ def detect_mentions(files: DataFrame, index_bc) -> DataFrame:
     meta_cols = ["file_key", "repo", "path", "commit", "lang"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         index = index_bc.value  # one lookup per python worker process
+        fields = ["start", "end", "text", "norm_text", "mtype", "defined_as"]
         for pdf in batches:
-            rows: list[dict] = []
-            for r in pdf.itertuples(index=False):
-                for m in detect_in_text(r.content or "", index):
-                    m2 = {c: getattr(r, c) for c in meta_cols}
-                    m2.update(m)
-                    rows.append(m2)
-            cols = meta_cols + ["start", "end", "text", "norm_text", "mtype", "defined_as"]
-            yield pd.DataFrame(rows, columns=cols)
+            # meta columns replicate per mention via one C-level np.repeat
+            # instead of an 11-key dict per mention (round-5 rework;
+            # measured ~15% of the old kernel wall was row assembly)
+            per_doc = [detect_in_text(c or "", index) for c in pdf["content"].values]
+            counts = [len(ms) for ms in per_doc]
+            flat = [m for ms in per_doc for m in ms]
+            data = {c: np.repeat(pdf[c].values, counts) for c in meta_cols}
+            for f in fields:
+                data[f] = [m[f] for m in flat]
+            yield pd.DataFrame(data, columns=meta_cols + fields)
 
     mentions = files.select(*meta_cols, "content").mapInPandas(kernel, DETECT_SCHEMA)
     # deterministic mention identity: hash of (file_key, span) — JVM-side
