@@ -13,6 +13,8 @@ Design rule: the batch stage functions are reused verbatim inside
 * :func:`session_ingest_windows`  — J4: per-repo session windows.
 * :func:`streamed_dedup_counts`   — J1+J2+J5 composed so the final state
   equals a plain batch aggregate: the driver-checkable streaming oracle.
+* :func:`streamed_window_counts`  — J3 composed the same way: event-time
+  tumbling windows drained to a state equal to the batch GROUP BY.
 """
 
 from __future__ import annotations
@@ -216,6 +218,77 @@ def _merge_epoch_state(work_dir: str, counts: DataFrame, epoch_id: int, group_co
     counts.write.mode("overwrite").parquet(f"{work_dir}/state_{epoch_id}")
     for n in prior[:-1]:  # superseded BEFORE the predecessor; keep prior[-1]
         shutil.rmtree(f"{work_dir}/state_{n}", ignore_errors=True)
+
+
+def streamed_window_counts(
+    spark: SparkSession,
+    table_path: str,
+    work_dir: str,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    window: str = "1 day",
+    max_files: int = 2,
+    stage_files: int = 4,
+    watermark: str = "87600 hours",
+) -> DataFrame:
+    """J3 composed into a BATCH-CHECKABLE result: file-source stream →
+    EVENT-TIME tumbling-window aggregation → complete-mode memory sink,
+    whose drained state equals the plain batch
+    ``GROUP BY date_trunc(window, ts), group_col`` over the input — the
+    driver's DuckDB oracle for the streaming-window path.
+
+    Construction mirrors :func:`streamed_dedup_counts`: the input is staged
+    as ``stage_files`` files and streamed ``max_files`` per trigger, so
+    rows of the SAME window arrive across DIFFERENT microbatches and the
+    windowed state is genuinely updated cross-batch (event times are not
+    sorted across files).  The watermark horizon exceeds the fixture span,
+    so no window is evicted before the stream drains; complete output mode
+    re-emits the full (small: one row per window×group) aggregate.
+
+    At scale: output mode becomes ``update`` with a MERGE-into-table sink,
+    and the watermark shrinks to the real late-data bound so window state
+    is evicted — the aggregation plan (event-time window + group) is
+    unchanged.  ``work_dir`` must be empty, as in streamed_dedup_counts.
+    """
+    import os
+    import uuid
+
+    if os.path.isdir(work_dir) and os.listdir(work_dir):
+        raise ValueError(
+            f"streamed_window_counts requires an empty work_dir, got non-empty {work_dir!r}"
+        )
+    batch_df = spark.read.parquet(table_path)
+    stage_dir = f"{work_dir}/stage"
+    batch_df.repartition(stage_files).write.mode("overwrite").parquet(stage_dir)
+
+    name = f"win_counts_{uuid.uuid4().hex[:12]}"
+    agg = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(stage_dir)
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select(
+        F.col("win.start").cast("date").cast("string").alias("day"),
+        group_col,
+        "n",
+    )
+    # pin the tiny result so the memory sink table can be dropped
+    out = out.localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def session_ingest_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
