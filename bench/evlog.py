@@ -23,11 +23,19 @@ def _iter_events(app_dir: Path):
     files = sorted(app_dir.glob("events_*")) if app_dir.is_dir() else [app_dir]
     for f in files:
         if f.name.endswith(".zstd"):
-            import zstandard
+            try:
+                import zstandard
 
-            with open(f, "rb") as fh:
-                reader = zstandard.ZstdDecompressor().stream_reader(fh)
-                data = reader.read().decode("utf-8", "replace")
+                with open(f, "rb") as fh:
+                    reader = zstandard.ZstdDecompressor().stream_reader(fh)
+                    data = reader.read().decode("utf-8", "replace")
+            except ImportError:
+                # no python binding in this env — the zstd CLI ships with conda
+                import subprocess
+
+                data = subprocess.run(
+                    ["zstd", "-dc", str(f)], capture_output=True, check=True
+                ).stdout.decode("utf-8", "replace")
         else:
             data = f.read_text(errors="replace")
         for line in data.splitlines():

@@ -47,11 +47,14 @@ def latest_versions(df: DataFrame) -> DataFrame:
     the fixture generator.  Window row_number is the Spark idiom for an
     as-of/latest join (no native as-of in Spark).
 
-    Scale note: this shuffles every column of ``df`` — including fat
-    ``content``.  The pipeline avoids it (see
-    :func:`latest_commit_map` + kgx.pipeline: versions are dropped AFTER
-    detection, on mention-sized rows); this operator remains for slim
-    tables and as the D7 inventory item.
+    Scale note: called on an arbitrarily-partitioned table this plans a
+    full shuffle of every column — including fat ``content``.  The
+    pipeline (kgx.pipeline) applies the same window keyed on ``file_key``
+    AFTER the mandated sha256(repo,path) repartition, where the exchange
+    is already satisfied and the window is a partition-local sort (round-5
+    rework; previously versions were dropped post-detection with a
+    mention-row semi join, which shuffled 23M wide rows at the gate
+    corpus).
     """
     w = Window.partitionBy("repo", "path").orderBy(F.col("commit").desc())
     return (
@@ -62,10 +65,12 @@ def latest_versions(df: DataFrame) -> DataFrame:
 
 
 def latest_commit_map(spark: SparkSession, uri: str, fmt: str = "parquet") -> DataFrame:
-    """(repo, path, commit=max) from a columns-pruned scan — the slim side
-    of the post-detection version-dedup join.  Catalyst pushes the
-    3-column projection into the parquet/Iceberg reader, so the corpus
-    ``content`` bytes are never touched here."""
+    """(repo, path, commit=max) from a columns-pruned scan.  Catalyst pushes
+    the 3-column projection into the parquet/Iceberg reader, so the corpus
+    ``content`` bytes are never touched.  No longer on the pipeline's
+    critical path (the latest-version window rides the corpus repartition
+    since round 5); kept for slim-side version routing (D5 evidence) and
+    incremental/streaming consumers."""
     df = read_table(spark, uri, fmt=fmt).select("repo", "path", "commit")
     return df.groupBy("repo", "path").agg(F.max("commit").alias("commit"))
 

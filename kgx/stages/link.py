@@ -53,6 +53,8 @@ def link_entities(
     # terms is consumed by ~6 broadcast builds below; collapse it to one
     # cached partition so each build is a single-task collect instead of a
     # full window-shuffle job (the lexicon is broadcast-sized by design)
+    sc = mentions.sparkSession.sparkContext
+    sc.setJobDescription("kgx stage2: lexicon term table")
     terms = _unique_terms(term_table(dict_df)).coalesce(1).localCheckpoint()
     base = mentions.select(*_BASE_COLS)
 
@@ -63,6 +65,7 @@ def link_entities(
     # (removing this was tried and measured 1.8× WORSE at local[8] on the
     # 2.4M-file corpus — re-reading the mentions checkpoint per consumer
     # costs more than the cached rows' GC pressure).
+    sc.setJobDescription("kgx stage2: exact/synonym broadcast join")
     j = base.filter(F.col("mtype") != "ABBREVIATION").join(
         F.broadcast(terms.select("term_norm", "compound_id", "kind")),
         base.norm_text == F.col("term_norm"),
@@ -183,6 +186,7 @@ def link_entities(
         # measure it (the checkpoint makes the count a cache read) and fall
         # back to a shuffle hash join on an adversarial corpus whose
         # distinct-surface vocabulary outgrows the broadcast budget
+        sc.setJobDescription("kgx stage2: fuzzy signatures + rerank")
         scored = rerank(pair_cands).localCheckpoint()
         if scored.count() <= fuzzy_broadcast_max_rows:
             scored = F.broadcast(scored)
