@@ -16,10 +16,18 @@ side of every join here is explicitly broadcast per the spec):
 
 The cascade is expressed as *broadcast left joins + null filters* rather
 than anti-joins: no shuffle is needed to route a mention to the next method.
-One final window (top-1 per mention by (score, method, compound_id) — total
-order, deterministic) produces the LINKS table.  A mention with no surviving
-method yields no link row (the reference drops unresolved entities the same
-way [PK: molminer/Extractor.py]).
+The LINKS table is the plain union of the method branches: the branches are
+DISJOINT per mention by construction (exact/synonym consume lexicon hits;
+systematic consumes exact-misses; fuzzy consumes skeleton-misses; abbrev
+consumes the ABBREVIATION mtype no other branch touches) and each branch
+emits at most one row per mention (the term/skeleton indexes are unique per
+key; the fuzzy surface→compound map is reduced to top-1 per surface with a
+VOCABULARY-sized window before it ever meets mention rows).  Round 1–4 ran
+a corpus-scale top-1 window over the union instead — a full shuffle of
+every link row that the disjointness argument makes redundant (measured
+~20% of pipeline core-seconds at the gate corpus).  A mention with no
+surviving method yields no link row (the reference drops unresolved
+entities the same way [PK: molminer/Extractor.py]).
 """
 
 from __future__ import annotations
@@ -187,7 +195,22 @@ def link_entities(
         # back to a shuffle hash join on an adversarial corpus whose
         # distinct-surface vocabulary outgrows the broadcast budget
         sc.setJobDescription("kgx stage2: fuzzy signatures + rerank")
-        scored = rerank(pair_cands).localCheckpoint()
+        # top-1 per SURFACE here, on the vocabulary-sized accepted map —
+        # this is what lets the final links table skip a corpus-scale
+        # top-1 window: after it, the fuzzy branch (like every other
+        # branch) emits at most one row per mention, with the same
+        # (score desc, compound_id asc) tiebreak the old global window
+        # applied to fuzzy ties
+        w_surface = Window.partitionBy("norm_text").orderBy(
+            F.col("score").desc(), F.col("compound_id").asc()
+        )
+        scored = (
+            rerank(pair_cands)
+            .withColumn("__rn", F.row_number().over(w_surface))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint()
+        )
         if scored.count() <= fuzzy_broadcast_max_rows:
             scored = F.broadcast(scored)
         fuzzy_links = fuzzy_mentions.join(scored, "norm_text").select(
@@ -196,21 +219,13 @@ def link_entities(
         )
         links = links.unionByName(fuzzy_links)
 
-    # --- top-1 per mention: total order -> deterministic -------------------
-    # explicit numbered repartition feeding the window: link rows are
-    # skinny, so AQE's byte-based coalescing fused this exchange down to 4
-    # partitions and idled half the cluster for the window+materialization
-    # CPU (measured 62% idle on that stage at 4×2-core executors); the
-    # window's required hash distribution on mention_id is satisfied by
-    # this exchange, so no second shuffle is added
-    n_shuffle = int(links.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    links = links.repartition(n_shuffle, "mention_id")
-    w = Window.partitionBy("mention_id").orderBy(
-        F.col("score").desc(), F.col("method").asc(), F.col("compound_id").asc()
-    )
-    return (
-        links.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .select(*_LINK_COLS)
-    )
+    # --- one row per mention, NO corpus-scale shuffle -----------------------
+    # The union IS the top-1 result: branches are disjoint per mention
+    # (routing by null-filters above) and each emits ≤1 row per mention
+    # (unique term/skeleton/abbrev indexes; per-surface top-1 on the fuzzy
+    # map).  The former global window (partitionBy mention_id) shuffled
+    # every link row — 23M rows / ~700 core-s at the scaling3 corpus — to
+    # deterministically break ties that cannot exist across disjoint
+    # branches.  Downstream consumers shuffle on their own keys anyway
+    # (stage-4 dedup, metrics), so no partitioning contract is lost.
+    return links.select(*_LINK_COLS)

@@ -89,6 +89,35 @@ def test_scores_are_ordered_by_method(spark, dict_df):
     assert rows[1]["score"] > rows[2]["score"] > rows[3]["score"]
 
 
+def test_fuzzy_multi_compound_surface_single_link(spark):
+    """A surface within the fuzzy envelope of terms of TWO compounds must
+    still yield exactly one deterministic link (the per-surface top-1 on
+    the accepted map — the invariant that lets the links table skip a
+    corpus-scale top-1 window; round-5 rework)."""
+    rows = [
+        (5, "hexanol", "SYSTEMATIC", [], None, "S5", "I5", "K5", None, 1),
+        (6, "hexanal", "SYSTEMATIC", [], None, "S6", "I6", "K6", None, 1),
+    ]
+    ddf = spark.createDataFrame(rows, DICT_SCHEMA)
+    # lev("hexanoll","hexanol")=1 and lev("hexanoll","hexanal")=2: both pass
+    # the candidate gates, so the accepted map holds two compounds for the
+    # surface before the per-surface top-1
+    mentions = spark.createDataFrame(
+        [_mention(1, "hexanoll", "SYSTEMATIC"), _mention(2, "hexanoll", "SYSTEMATIC")],
+        MENTION_SCHEMA,
+    )
+    out = link_entities(mentions, ddf).collect()
+    assert len(out) == 2  # one row per mention, no duplicates from the map
+    assert {r["mention_id"] for r in out} == {1, 2}
+    picks = {(r["compound_id"], r["method"], r["score"]) for r in out}
+    assert len(picks) == 1  # both mentions of the surface agree
+    cpd, method, _ = next(iter(picks))
+    assert method == "fuzzy" and cpd == 5  # closer term (lev 1) outscores lev 2
+    # deterministic across re-invocations
+    again = {(r["mention_id"], r["compound_id"]) for r in link_entities(mentions, ddf).collect()}
+    assert again == {(r["mention_id"], r["compound_id"]) for r in out}
+
+
 def test_fuzzy_broadcast_fallback_same_result(spark, dict_df):
     """fuzzy_broadcast_max_rows=0 forces the shuffle-join fallback for the
     accepted (surface -> compound) map; links must be identical to the
