@@ -191,19 +191,29 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
                 .drop("__rn")
             )
 
-            # Stage boundaries are always materialized: either durably
-            # (run_dir -> parquet checkpoint + lineage) or in-session
-            # (localCheckpoint).  The link cascade fans out into several
-            # join branches over `mentions`, and the CC loop runs actions
-            # every round — without materialization each of those
-            # re-executes the detection UDF over the whole corpus.
+            # Stage boundary materialization: with a run_dir the detection
+            # output is durably checkpointed (parquet + lineage) and stage 2
+            # reads it back.  WITHOUT a run_dir, `mentions` stays LAZY here:
+            # stage 2's exact/synonym join is its single consumer (round-5
+            # rework — the abbrev branch now routes off the joined table,
+            # kgx/stages/link.py), so the scan→window→detect plan fuses into
+            # that join's localCheckpoint and the corpus is materialized
+            # exactly once in RAM instead of twice back-to-back (the old
+            # mentions localCheckpoint wrote all ~N wide mention rows only
+            # for the join job to read them straight back).  Detection still
+            # executes exactly once: every downstream branch reads the join's
+            # checkpoint.  The returned `mentions` handle is a lazy view in
+            # this mode — recomputing it re-runs detection (deterministic:
+            # mention_id is a content hash), so heavy consumers of mentions
+            # itself should pass a run_dir.
             mentions = detect_mentions(files, index_bc)
-            # job descriptions label each stage boundary's action in the UI /
-            # event log (attribution for the per-stage core-second audit)
-            spark.sparkContext.setJobDescription("kgx stage1: detect -> mentions checkpoint")
-            mentions = stage_checkpoint(spark, mentions, "mentions", cfg)
-            if cfg.run_dir is None:
-                mentions = mentions.localCheckpoint()
+            if cfg.run_dir is not None:
+                # job descriptions label each stage boundary's action in the
+                # UI / event log (attribution for the core-second audit)
+                spark.sparkContext.setJobDescription(
+                    "kgx stage1: detect -> mentions checkpoint"
+                )
+                mentions = stage_checkpoint(spark, mentions, "mentions", cfg)
 
         if resumed("links"):
             links = committed_output(spark, cfg, "links")

@@ -73,13 +73,22 @@ def link_entities(
     # (removing this was tried and measured 1.8× WORSE at local[8] on the
     # 2.4M-file corpus — re-reading the mentions checkpoint per consumer
     # costs more than the cached rows' GC pressure).
+    #
+    # ALL mention rows flow through this one join (ABBREVIATION rows too —
+    # they are routed to their branch by the mtype filters below, never by a
+    # second read of `mentions`): this makes j the SINGLE consumer of the
+    # detection output, so when the caller passes a lazy `mentions` (the
+    # no-run_dir pipeline path), scan→window→detect→join→checkpoint fuse
+    # into one job and the corpus is materialized exactly once instead of
+    # twice (kgx/pipeline.py round-5 note).
     sc.setJobDescription("kgx stage2: exact/synonym broadcast join")
-    j = base.filter(F.col("mtype") != "ABBREVIATION").join(
+    j = base.join(
         F.broadcast(terms.select("term_norm", "compound_id", "kind")),
         base.norm_text == F.col("term_norm"),
         "left",
     ).localCheckpoint()
-    exact_links = j.filter(F.col("compound_id").isNotNull()).select(
+    not_abbrev = F.col("mtype") != "ABBREVIATION"
+    exact_links = j.filter(not_abbrev & F.col("compound_id").isNotNull()).select(
         "mention_id",
         "file_key",
         "repo",
@@ -89,11 +98,14 @@ def link_entities(
         F.when(F.col("kind") == "synonym", F.lit(0.90)).otherwise(F.lit(1.0)).alias("score"),
         F.when(F.col("kind") == "synonym", F.lit("synonym")).otherwise(F.lit("exact")).alias("method"),
     )
-    unmatched = j.filter(F.col("compound_id").isNull()).select(*_BASE_COLS)
+    unmatched = j.filter(not_abbrev & F.col("compound_id").isNull()).select(*_BASE_COLS)
 
     # --- abbrev: doc-local long form bound at detection --------------------
+    # same defined_as-only routing as ever (only ABBREVIATION mentions carry
+    # defined_as); reads j's checkpointed rows, not `mentions`
     abbrev_links = (
-        base.filter(F.col("defined_as").isNotNull())
+        j.select(*_BASE_COLS)
+        .filter(F.col("defined_as").isNotNull())
         .join(
             F.broadcast(terms.select(F.col("term_norm").alias("__t"), "compound_id")),
             F.col("defined_as") == F.col("__t"),
