@@ -14,20 +14,22 @@ side of every join here is explicitly broadcast per the spec):
 5. ``fuzzy``      (<0.80) — minhash-banded candidate generation + exact
    rerank in pandas UDF batches (kgx.link.minhash / kgx.link.rerank).
 
-The cascade is expressed as *broadcast left joins + null filters* rather
-than anti-joins: no shuffle is needed to route a mention to the next method.
-The LINKS table is the plain union of the method branches: the branches are
-DISJOINT per mention by construction (exact/synonym consume lexicon hits;
-systematic consumes exact-misses; fuzzy consumes skeleton-misses; abbrev
-consumes the ABBREVIATION mtype no other branch touches) and each branch
-emits at most one row per mention (the term/skeleton indexes are unique per
-key; the fuzzy surface→compound map is reduced to top-1 per surface with a
-VOCABULARY-sized window before it ever meets mention rows).  Round 1–4 ran
-a corpus-scale top-1 window over the union instead — a full shuffle of
-every link row that the disjointness argument makes redundant (measured
-~20% of pipeline core-seconds at the gate corpus).  A mention with no
-surviving method yields no link row (the reference drops unresolved
-entities the same way [PK: molminer/Extractor.py]).
+The cascade is ONE routing pass over the corpus: every vocabulary-sized
+lookup (term table, skeleton index, abbrev long-form map, fuzzy
+surface→compound map) is broadcast-left-joined onto the single mention
+scan, and a priority ``when``-chain picks the winning method per row.
+The branches are DISJOINT per mention by construction (exact/synonym
+consume lexicon hits; systematic consumes exact-misses; fuzzy consumes
+skeleton-misses; abbrev consumes the ABBREVIATION mtype no other branch
+touches) and every lookup side is unique on its key (the term/skeleton
+indexes by ``_unique_terms``/build; the fuzzy map reduced to top-1 per
+surface with a VOCABULARY-sized window before it ever meets mention
+rows), so each mention yields at most one link with no dedup step.
+Rounds 1–4 materialized the branches as a 4-way union instead — 4 scans
+of the checkpointed corpus — topped (rounds 1–3) by a corpus-scale top-1
+window that shuffled every link row to break ties that cannot exist.  A
+mention with no surviving method yields no link row (the reference drops
+unresolved entities the same way [PK: molminer/Extractor.py]).
 """
 
 from __future__ import annotations
@@ -67,12 +69,12 @@ def link_entities(
     base = mentions.select(*_BASE_COLS)
 
     # --- exact / synonym (one broadcast join serves both) ------------------
-    # j and s below fan out into several consumers (exact links, the next
-    # method's input, the final top-1 union): localCheckpoint each once so
-    # the cascade reads memory instead of re-executing the joins per branch
-    # (removing this was tried and measured 1.8× WORSE at local[8] on the
-    # 2.4M-file corpus — re-reading the mentions checkpoint per consumer
-    # costs more than the cached rows' GC pressure).
+    # j has two consumers (the routing pass below and the fuzzy channel's
+    # distinct-surface scan): localCheckpoint it once so both read memory
+    # instead of re-executing the detect+join lineage (removing this was
+    # tried and measured 1.8× WORSE at local[8] on the 2.4M-file corpus —
+    # re-reading the mentions checkpoint per consumer costs more than the
+    # cached rows' GC pressure).
     #
     # ALL mention rows flow through this one join (ABBREVIATION rows too —
     # they are routed to their branch by the mtype filters below, never by a
@@ -87,61 +89,40 @@ def link_entities(
         base.norm_text == F.col("term_norm"),
         "left",
     ).localCheckpoint()
-    not_abbrev = F.col("mtype") != "ABBREVIATION"
-    exact_links = j.filter(not_abbrev & F.col("compound_id").isNotNull()).select(
-        "mention_id",
-        "file_key",
-        "repo",
-        "path",
-        "commit",
-        "compound_id",
-        F.when(F.col("kind") == "synonym", F.lit(0.90)).otherwise(F.lit(1.0)).alias("score"),
-        F.when(F.col("kind") == "synonym", F.lit("synonym")).otherwise(F.lit("exact")).alias("method"),
+    # --- single routing pass over j (round-5 rework #2) --------------------
+    # The method branches used to be materialized as a 4-way union, each
+    # branch re-scanning j's checkpointed rows (exact, abbrev, systematic,
+    # fuzzy — 4 scans, plus a 5th skinny scan for the fuzzy surface
+    # vocabulary).  Every lookup side is vocabulary-sized and unique on its
+    # key (_unique_terms per term_norm; skeleton index per term_skeleton;
+    # fuzzy map top-1 per norm_text), so the whole cascade is expressible as
+    # ONE scan of j with three broadcast left joins and a priority
+    # when-chain — same rows, same scores, no fan-out possible.  Routing
+    # matches the old branch filters exactly:
+    #   ABBREVIATION      -> defined_as lookup only (miss -> no row; detect
+    #                        sets defined_as ONLY on ABBREVIATION rows,
+    #                        kgx/stages/detect.py:342)
+    #   exact/synonym hit -> 1.0 / 0.90
+    #   SYSTEMATIC + exact miss + skeleton hit  -> 0.95
+    #   SYSTEMATIC + exact miss + skeleton miss -> fuzzy map (may miss)
+    #   anything else     -> no row (unresolved mentions are dropped)
+    is_abbrev = F.col("mtype") == "ABBREVIATION"
+    is_sys_unmatched = (
+        ~is_abbrev & F.col("compound_id").isNull() & (F.col("mtype") == "SYSTEMATIC")
     )
-    unmatched = j.filter(not_abbrev & F.col("compound_id").isNull()).select(*_BASE_COLS)
-
-    # --- abbrev: doc-local long form bound at detection --------------------
-    # same defined_as-only routing as ever (only ABBREVIATION mentions carry
-    # defined_as); reads j's checkpointed rows, not `mentions`
-    abbrev_links = (
-        j.select(*_BASE_COLS)
-        .filter(F.col("defined_as").isNotNull())
-        .join(
-            F.broadcast(terms.select(F.col("term_norm").alias("__t"), "compound_id")),
-            F.col("defined_as") == F.col("__t"),
-            "inner",
-        )
-        .select(
-            "mention_id",
-            "file_key",
-            "repo",
-            "path",
-            "commit",
-            "compound_id",
-            F.lit(0.85).alias("score"),
-            F.lit("abbrev").alias("method"),
-        )
+    abbrev_map = terms.select(
+        F.col("term_norm").alias("__ab_t"), F.col("compound_id").alias("__ab_cpd")
     )
-
-    # --- systematic: skeleton lookup (OPSIN analogue) ----------------------
-    skel_idx = skeleton_index_df(terms)
-    s = (
-        unmatched.filter(F.col("mtype") == "SYSTEMATIC")
-        .withColumn("__skel", skeleton_col(F.col("norm_text")))
-        .join(F.broadcast(skel_idx), F.col("__skel") == F.col("term_skeleton"), "left")
-    )  # two consumers, both cheap re-joins from the checkpointed j
-    systematic_links = s.filter(F.col("compound_id").isNotNull()).select(
-        "mention_id",
-        "file_key",
-        "repo",
-        "path",
-        "commit",
-        "compound_id",
-        F.lit(0.95).alias("score"),
-        F.lit("systematic").alias("method"),
+    skel_map = skeleton_index_df(terms).select(
+        F.col("term_skeleton").alias("__sk_t"), F.col("compound_id").alias("__sk_cpd")
     )
-
-    links = exact_links.unionByName(abbrev_links).unionByName(systematic_links)
+    routed = (
+        j.withColumn("__skel", F.when(is_sys_unmatched, skeleton_col(F.col("norm_text"))))
+        .join(F.broadcast(abbrev_map), F.col("defined_as") == F.col("__ab_t"), "left")
+        .join(F.broadcast(skel_map), F.col("__skel") == F.col("__sk_t"), "left")
+    )
+    # fuzzy-eligible = SYSTEMATIC rows that missed both exact and skeleton
+    is_fuzzy_eligible = is_sys_unmatched & F.col("__sk_cpd").isNull()
 
     # --- fuzzy: unified signature join -> pandas rerank ---------------------
     # One candidate channel, two signature families concatenated per string:
@@ -159,8 +140,10 @@ def link_entities(
     # Everything runs over DISTINCT surfaces, never mention rows: a zipf
     # corpus repeats each hot misspelling tens of thousands of times, so
     # signatures, the candidate join, and the Python scoring are all
-    # vocabulary-sized; mention rows only see one final broadcast join of
-    # the accepted (surface -> compound, score) map.
+    # vocabulary-sized; mention rows only meet the accepted map in the
+    # routing pass below.
+    fuzzy_broadcastable = False
+    scored = None
     if enable_fuzzy:
         from kgx.link.minhash import minhash_bands_udf
         from kgx.link.rerank import MAX_LEV
@@ -179,13 +162,12 @@ def link_entities(
                 .drop("__sigs")
             )
 
-        fuzzy_mentions = s.filter(F.col("compound_id").isNull()).select(*_BASE_COLS)
         # names only: formulas and CAS numbers must never fuzzy-match (one
         # digit of edit distance changes the identity)
         fuzzy_terms = terms.filter(~F.col("kind").isin("formula", "identifier")).select(
             "term_norm", "compound_id"
         )
-        surfaces = fuzzy_mentions.select("norm_text").distinct()  # skinny shuffle
+        surfaces = routed.filter(is_fuzzy_eligible).select("norm_text").distinct()
         ms = with_sigs(surfaces, "norm_text")
         ts = with_sigs(fuzzy_terms, "term_norm")
         pair_cands = (
@@ -207,12 +189,10 @@ def link_entities(
         # back to a shuffle hash join on an adversarial corpus whose
         # distinct-surface vocabulary outgrows the broadcast budget
         sc.setJobDescription("kgx stage2: fuzzy signatures + rerank")
-        # top-1 per SURFACE here, on the vocabulary-sized accepted map —
-        # this is what lets the final links table skip a corpus-scale
-        # top-1 window: after it, the fuzzy branch (like every other
-        # branch) emits at most one row per mention, with the same
-        # (score desc, compound_id asc) tiebreak the old global window
-        # applied to fuzzy ties
+        # top-1 per SURFACE on the vocabulary-sized accepted map — so the
+        # fuzzy lookup (like every other routing branch) yields at most one
+        # row per mention, with the same (score desc, compound_id asc)
+        # tiebreak the old corpus-scale window applied to fuzzy ties
         w_surface = Window.partitionBy("norm_text").orderBy(
             F.col("score").desc(), F.col("compound_id").asc()
         )
@@ -223,21 +203,82 @@ def link_entities(
             .drop("__rn")
             .localCheckpoint()
         )
-        if scored.count() <= fuzzy_broadcast_max_rows:
-            scored = F.broadcast(scored)
-        fuzzy_links = fuzzy_mentions.join(scored, "norm_text").select(
-            "mention_id", "file_key", "repo", "path", "commit",
-            "compound_id", "score", "method",
+        fuzzy_broadcastable = scored.count() <= fuzzy_broadcast_max_rows
+
+    if enable_fuzzy and fuzzy_broadcastable:
+        routed = routed.join(
+            F.broadcast(
+                scored.select(
+                    F.col("norm_text").alias("__fz_t"),
+                    F.col("compound_id").alias("__fz_cpd"),
+                    F.col("score").alias("__fz_score"),
+                )
+            ),
+            F.col("norm_text") == F.col("__fz_t"),
+            "left",
+        )
+        fz_cpd, fz_score = F.col("__fz_cpd"), F.col("__fz_score")
+    else:
+        fz_cpd = F.lit(None).cast("long")
+        fz_score = F.lit(None).cast("double")
+
+    exact_hit = F.col("compound_id").isNotNull()
+    is_syn = F.col("kind") == "synonym"
+    out_cpd = (
+        F.when(is_abbrev, F.col("__ab_cpd"))
+        .when(exact_hit, F.col("compound_id"))
+        .when(F.col("__sk_cpd").isNotNull(), F.col("__sk_cpd"))
+        .when(is_fuzzy_eligible, fz_cpd)
+    )
+    out_score = (
+        F.when(is_abbrev, F.lit(0.85))
+        .when(exact_hit, F.when(is_syn, F.lit(0.90)).otherwise(F.lit(1.0)))
+        .when(F.col("__sk_cpd").isNotNull(), F.lit(0.95))
+        .when(is_fuzzy_eligible, fz_score)
+    )
+    out_method = (
+        F.when(is_abbrev, F.lit("abbrev"))
+        .when(exact_hit, F.when(is_syn, F.lit("synonym")).otherwise(F.lit("exact")))
+        .when(F.col("__sk_cpd").isNotNull(), F.lit("systematic"))
+        .when(is_fuzzy_eligible, F.lit("fuzzy"))
+    )
+    links = (
+        routed.withColumn("__cpd", out_cpd)
+        .withColumn("score", out_score)
+        .withColumn("method", out_method)
+        .filter(F.col("__cpd").isNotNull())
+        .select(
+            "mention_id",
+            "file_key",
+            "repo",
+            "path",
+            "commit",
+            F.col("__cpd").alias("compound_id"),
+            "score",
+            "method",
+        )
+    )
+    if enable_fuzzy and not fuzzy_broadcastable:
+        # oversized fuzzy vocabulary: shuffle-join the accepted map against
+        # ONLY the fuzzy-eligible rows (never the full corpus), exactly the
+        # old fallback's cost shape
+        fuzzy_links = (
+            routed.filter(is_fuzzy_eligible)
+            .select("mention_id", "file_key", "repo", "path", "commit", "norm_text")
+            .join(scored, "norm_text")
+            .select(
+                "mention_id", "file_key", "repo", "path", "commit",
+                "compound_id", "score", "method",
+            )
         )
         links = links.unionByName(fuzzy_links)
 
     # --- one row per mention, NO corpus-scale shuffle -----------------------
-    # The union IS the top-1 result: branches are disjoint per mention
-    # (routing by null-filters above) and each emits ≤1 row per mention
-    # (unique term/skeleton/abbrev indexes; per-surface top-1 on the fuzzy
-    # map).  The former global window (partitionBy mention_id) shuffled
-    # every link row — 23M rows / ~700 core-s at the scaling3 corpus — to
-    # deterministically break ties that cannot exist across disjoint
-    # branches.  Downstream consumers shuffle on their own keys anyway
-    # (stage-4 dedup, metrics), so no partitioning contract is lost.
+    # The when-chain IS the top-1 result: routing conditions are mutually
+    # exclusive per row and every lookup side is unique on its key, so each
+    # mention yields at most one link.  The former global window
+    # (partitionBy mention_id) shuffled every link row — 23M rows / ~700
+    # core-s at the scaling3 corpus — to break ties that cannot exist.
+    # Downstream consumers shuffle on their own keys anyway (stage-4 dedup,
+    # metrics), so no partitioning contract is lost.
     return links.select(*_LINK_COLS)
