@@ -55,7 +55,7 @@ def build_edges(dict_df: DataFrame) -> DataFrame:
     (same InChIKey) edges.
 
     Mentions are deliberately NOT nodes.  Every mention carries exactly one
-    link (the stage-2 top-1 window), so in the bipartite mention↔compound
+    link (the stage-2 routing when-chain), so in the bipartite mention↔compound
     graph a mention is a degree-1 leaf — it can never merge two compounds,
     and its component is always its compound's component.  Dropping the
     10^12 mention rows from the iterative CC therefore changes nothing
@@ -224,7 +224,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
                 enable_fuzzy=cfg.enable_fuzzy,
                 fuzzy_broadcast_max_rows=cfg.fuzzy_broadcast_max_rows,
             )
-            spark.sparkContext.setJobDescription("kgx stage2: links top-1 checkpoint")
+            spark.sparkContext.setJobDescription("kgx stage2: links routing checkpoint")
             links = stage_checkpoint(spark, links, "links", cfg)
             if cfg.run_dir is None:
                 # stage 4 fans out into several triple projections over
