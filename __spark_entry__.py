@@ -260,17 +260,18 @@ def q_union_set(spark, sf_dir):  # H1: unionByName + distinct
     return views.unionByName(clicks).distinct().orderBy("user_id")
 
 
-def q_except_orders(spark, sf_dir):  # H2: set EXCEPT — orders with no lineitem
-    o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
-    return o.subtract(li).orderBy("o_orderkey")
-
-
-def q_intersect_users(spark, sf_dir):  # H3: intersect
-    e = _t(spark, sf_dir, "events")
-    viewers = e.filter(F.col("event_type") == "view").select("user_id")
-    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
-    return viewers.intersect(buyers).orderBy("user_id")
+def q_set_ops_days(spark, sf_dir):  # H2+H3: INTERSECT then EXCEPT, one plan
+    # round 6: the former except_orders (H2) and intersect_users (H3)
+    # micro-queries folded into one set-algebra plan over user×day activity
+    # — (viewed ∩ clicked) \ purchased — freeing a registry slot for the J4
+    # streaming-session oracle, the same deliberate fold as case_when_buckets
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.col("ts")).cast("string").alias("day"), "event_type"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "day")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "day")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id", "day")
+    return views.intersect(clicks).subtract(buys).orderBy("user_id", "day")
 
 
 def q_string_funcs(spark, sf_dir):  # I1: string surface over documents
@@ -369,6 +370,30 @@ def q_stream_window_counts(spark, sf_dir):  # J3 vs a batch value oracle
     try:
         out = streamed_window_counts(spark, f"{sf_dir}/events.parquet", work)
         return out.orderBy("day", "event_type")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_stream_session_counts(spark, sf_dir):  # J4 vs a batch value oracle
+    """Event-time SESSION-window streaming aggregation (kgx/streaming/
+    incremental.py streamed_session_counts): the events table staged as 4
+    hash-split files → 2-file microbatches → session_window(ts, '4 hours')
+    per user in complete mode, so partial sessions genuinely MERGE across
+    microbatches in the state store; the drained state equals batch
+    gaps-and-islands sessionization (lag → break flag → running-sum session
+    id → group) — the DuckDB oracle.  Timestamps emitted as epoch
+    microseconds so equality is rendering- and timezone-independent.
+    (Slot freed by folding except_orders + intersect_users into
+    set_ops_days.)"""
+    import shutil
+    import tempfile
+
+    from kgx.streaming.incremental import streamed_session_counts
+
+    work = tempfile.mkdtemp(prefix="kgx_streams_q_")
+    try:
+        out = streamed_session_counts(spark, f"{sf_dir}/events.parquet", work)
+        return out.orderBy("user_id", "session_start_us")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -811,8 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "rollup_counts": q_rollup_counts,
         "union_set": q_union_set,
-        "except_orders": q_except_orders,
-        "intersect_users": q_intersect_users,
+        "set_ops_days": q_set_ops_days,
+        "stream_session_counts": q_stream_session_counts,
         "string_funcs": q_string_funcs,
         "json_extract": q_json_extract,
         "date_trunc_counts": q_date_trunc_counts,
@@ -853,9 +878,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exactly 50 entries, deliberately: the round-3 driver ran 50 of 51
     # registered queries (date_arith silently lost its green row), so the
     # registry is kept at the observed budget — regexp_extract_numbers
-    # folded into string_funcs, date_arith into latest_per_key, and (round
-    # 5) case_when_buckets into math_exprs to free the slot for the J3
-    # streaming-window oracle (stream_window_counts)
+    # folded into string_funcs, date_arith into latest_per_key, (round 5)
+    # case_when_buckets into math_exprs to free the slot for the J3
+    # streaming-window oracle, and (round 6) except_orders +
+    # intersect_users into set_ops_days to free the slot for the J4
+    # streaming-session oracle (stream_session_counts)
     assert len(qs) == 50, f"driver runs at most 50 queries, got {len(qs)}"
     # every callable ships kgx to the python workers first (cwd-independent)
     return {name: _shipped(fn) for name, fn in qs.items()}
@@ -947,17 +974,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id FROM events WHERE event_type = 'click')
             ORDER BY user_id
         """,
-        "except_orders": """
-            SELECT o_orderkey FROM orders
-            EXCEPT
-            SELECT l_orderkey FROM lineitem
-            ORDER BY o_orderkey
-        """,
-        "intersect_users": """
-            SELECT user_id FROM events WHERE event_type = 'view'
+        "set_ops_days": """
+            SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+            FROM events WHERE event_type = 'view'
             INTERSECT
-            SELECT user_id FROM events WHERE event_type = 'purchase'
-            ORDER BY user_id
+            SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id, day
         """,
         "string_funcs": r"""
             SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars_calc,
@@ -996,6 +1022,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(CAST(DATE_TRUNC('day', ts) AS DATE) AS VARCHAR) AS day,
                    event_type, COUNT(*) AS n
             FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        # session_window merge semantics (verified empirically: diff == gap
+        # MERGES, a new session starts strictly after the gap; emitted
+        # window is [min_ts, max_ts + gap)) as classic gaps-and-islands:
+        # lag -> strict-gap break flag -> running-sum session id -> group
+        "stream_session_counts": """
+            WITH brk AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 4 HOUR
+                            THEN 1 ELSE 0 END AS is_break
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM brk
+            )
+            SELECT user_id,
+                   EPOCH_US(MIN(ts)) AS session_start_us,
+                   EPOCH_US(MAX(ts) + INTERVAL 4 HOUR) AS session_end_us,
+                   COUNT(*) AS n_events
+            FROM sess
+            GROUP BY user_id, session_id
+            ORDER BY user_id, session_start_us
         """,
         "global_sort_limit": """
             SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -96,6 +96,22 @@ print(json.dumps(rep))
 """
 
 
+def _current_engine_tree() -> str | None:
+    """Tree hash of the committed kgx/ package (``git rev-parse HEAD:kgx``)
+    — the engine identity pooled scaling records must match.  Doc/bench
+    commits don't perturb it; any engine change does.  None if git is
+    unavailable (pooling then uses only this run's reps)."""
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse", "HEAD:kgx"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
 def _pipeline_at(master: str, fixture_dir: str, with_pr: bool = False) -> dict:
     env = dict(os.environ)
     if with_pr:
@@ -196,11 +212,14 @@ def main() -> int:
             }
         )
         # pooled estimator: this run's reps + every committed protocol
-        # record for the same corpus (bench/records/*.json, written by
-        # bench/scaling_protocol.py) — the full-sample median no single
-        # drifted pair can flip
-        pooled = list(effs)
-        pooled_files = []
+        # record for the same corpus AND the same engine (bench/records/
+        # *.json, written by bench/scaling_protocol.py) — the full-sample
+        # median no single drifted pair can flip.  Records are stamped with
+        # the kgx/ git tree hash at measurement time (round-5 advice):
+        # records of an OLDER engine are excluded so a scaling regression
+        # in the shipped tree can't hide behind healthy historical reps.
+        pooled, pooled_files, excluded_files = list(effs), [], []
+        engine_tree = _current_engine_tree()
         if os.path.isdir(RECORDS_DIR):
             for fn in sorted(os.listdir(RECORDS_DIR)):
                 if not fn.endswith(".json"):
@@ -208,9 +227,18 @@ def main() -> int:
                 try:
                     with open(os.path.join(RECORDS_DIR, fn)) as f:
                         rec = json.load(f)
-                    if rec.get("scale") == BENCH_SCALE:
+                    if rec.get("scale") != BENCH_SCALE:
+                        continue
+                    same_engine = (
+                        rec.get("engine_tree") is not None
+                        and rec.get("engine_tree") == engine_tree
+                        and not rec.get("engine_dirty")
+                    )
+                    if same_engine:
                         pooled.extend(rec["eff_exec_1_to_4"]["per_rep"])
                         pooled_files.append(fn)
+                    else:
+                        excluded_files.append(fn)
                 except (OSError, KeyError, ValueError):
                     continue  # a malformed record must not sink the bench
         pipeline.update(
@@ -218,6 +246,8 @@ def main() -> int:
                 "scaling_efficiency_pooled": round(statistics.median(pooled), 3),
                 "scaling_efficiency_pooled_n": len(pooled),
                 "scaling_efficiency_pooled_records": pooled_files,
+                "scaling_efficiency_excluded_records": excluded_files,
+                "engine_tree": engine_tree,
             }
         )
         report["value"] = t32["wall_sec"]

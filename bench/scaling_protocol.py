@@ -26,16 +26,42 @@ Usage: python bench/scaling_protocol.py [repeats=3] [scale=scaling]
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import subprocess
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
-CHILD = """
+
+def engine_fingerprint() -> dict:
+    """Identity of the engine this record measures — pooled estimators must
+    not blend measurements of different code (round-5 advice).
+
+    ``engine_tree`` is ``git rev-parse HEAD:kgx`` — the tree hash of the
+    kgx/ package alone, so doc/bench-harness commits don't orphan records,
+    while ANY engine change does.  ``engine_dirty`` marks uncommitted kgx/
+    edits at measurement time; dirty records are excluded from pooling.
+    """
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", "-C", REPO_ROOT, *args], capture_output=True, text=True, check=True
+        ).stdout.strip()
+
+    try:
+        return {
+            "git_head": _git("rev-parse", "HEAD"),
+            "engine_tree": _git("rev-parse", "HEAD:kgx"),
+            "engine_dirty": bool(_git("status", "--porcelain", "--", "kgx")),
+        }
+    except (OSError, subprocess.CalledProcessError):
+        return {"git_head": None, "engine_tree": None, "engine_dirty": True}
+
+CHILD = f"""
 import json, sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, {REPO_ROOT!r})
 master, fixture_dir = sys.argv[1], sys.argv[2]
 from kgx.session import get_spark
 from kgx.pipeline import PipelineConfig, run_pipeline
@@ -82,7 +108,7 @@ def main() -> int:
     scale = args[1] if len(args) > 1 else "scaling"
     from kgx.fixtures.gen import ensure
 
-    fixture_dir = str(ensure(scale, "/root/repo/tests/fixtures"))
+    fixture_dir = str(ensure(scale, os.path.join(REPO_ROOT, "tests", "fixtures")))
 
     walls: dict[str, list[float]] = {W1: [], W4: []}
     effs: list[float] = []
@@ -115,6 +141,7 @@ def main() -> int:
 
     report = {
         "scale": scale,
+        **engine_fingerprint(),
         "repeats": repeats,
         "pair": {"N": W1, "4N": W4},
         "wall_sec": walls,
@@ -135,9 +162,7 @@ def main() -> int:
             3,
         )
     if record:
-        import os
-
-        rec_dir = "/root/repo/bench/records"
+        rec_dir = os.path.join(REPO_ROOT, "bench", "records")
         os.makedirs(rec_dir, exist_ok=True)
         path = f"{rec_dir}/scaling_{scale}_{time.strftime('%Y%m%d_%H%M%S')}.json"
         with open(path, "w") as f:

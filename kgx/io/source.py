@@ -33,9 +33,35 @@ def scan_source_files(spark: SparkSession, uri: str, fmt: str = "parquet") -> Da
     return with_file_identity(df)
 
 
+_SEP = "\x1f"
+
+
 def with_file_identity(df: DataFrame) -> DataFrame:
+    """Attach ``content_sha`` and ``file_key``.
+
+    ``file_key`` is ROW IDENTITY, not just a partitioning hint: the
+    pipeline's latest-version window dedups on it, so two distinct
+    (repo, path) pairs must never alias one key.  ``concat_ws`` with the
+    ``\\x1f`` unit separator guarantees that only if neither field contains
+    the separator itself — so rows that do are rejected at scan time
+    (per-row ``raise_error``, a codegen'd string scan that costs nothing
+    next to the content sha256) instead of silently dropping a file.
+    Downstream expectation: at most one row per (file_key, commit); rows
+    equal on both are true duplicates and either may be kept.
+    """
+    sep_clash = F.col("repo").contains(_SEP) | F.col("path").contains(_SEP)
     return df.withColumn("content_sha", F.sha2(F.col("content"), 256)).withColumn(
-        "file_key", F.sha2(F.concat_ws("\x1f", "repo", "path"), 256)
+        "file_key",
+        F.when(
+            ~sep_clash, F.sha2(F.concat_ws(_SEP, "repo", "path"), 256)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("file identity violated: repo/path contains the \\x1f separator: "),
+                    F.col("repo"), F.lit(" :: "), F.col("path"),
+                )
+            )
+        ),
     )
 
 

@@ -202,10 +202,11 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
             # mentions localCheckpoint wrote all ~N wide mention rows only
             # for the join job to read them straight back).  Detection still
             # executes exactly once: every downstream branch reads the join's
-            # checkpoint.  The returned `mentions` handle is a lazy view in
-            # this mode — recomputing it re-runs detection (deterministic:
-            # mention_id is a content hash), so heavy consumers of mentions
-            # itself should pass a run_dir.
+            # checkpoint — INCLUDING the returned `mentions` handle, which
+            # (round-6 rework) link_entities rebinds to a full-schema view
+            # over its fused checkpoint via `mentions_out`, so a caller
+            # consuming result["mentions"] can no longer silently pay
+            # detection a second time.
             mentions = detect_mentions(files, index_bc)
             if cfg.run_dir is not None:
                 # job descriptions label each stage boundary's action in the
@@ -218,12 +219,19 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
         if resumed("links"):
             links = committed_output(spark, cfg, "links")
         else:
+            # no run_dir → the mentions handle above is lazy; ask stage 2 to
+            # rebind it to its fused checkpoint (recompute-free, zero extra
+            # jobs — see link_entities' mentions_out contract)
+            mentions_box: dict | None = None if cfg.run_dir is not None else {}
             links = link_entities(
                 mentions,
                 dict_df,
                 enable_fuzzy=cfg.enable_fuzzy,
                 fuzzy_broadcast_max_rows=cfg.fuzzy_broadcast_max_rows,
+                mentions_out=mentions_box,
             )
+            if mentions_box is not None and "mentions" in mentions_box:
+                mentions = mentions_box["mentions"]
             spark.sparkContext.setJobDescription("kgx stage2: links routing checkpoint")
             links = stage_checkpoint(spark, links, "links", cfg)
             if cfg.run_dir is None:

@@ -44,6 +44,12 @@ from kgx.text.normalize import skeleton_col
 
 _BASE_COLS = ["mention_id", "file_key", "repo", "path", "commit", "norm_text", "mtype", "defined_as"]
 _LINK_COLS = ["mention_id", "file_key", "repo", "path", "commit", "compound_id", "score", "method"]
+# full MENTIONS contract order (kgx.schemas.MENTIONS) — used when the caller
+# asks for a recompute-free mentions view off the fused join checkpoint
+_MENTION_COLS = [
+    "file_key", "repo", "path", "commit", "lang",
+    "mention_id", "start", "end", "text", "norm_text", "mtype", "defined_as",
+]
 
 
 def _unique_terms(terms: DataFrame) -> DataFrame:
@@ -59,14 +65,25 @@ def link_entities(
     dict_df: DataFrame,
     enable_fuzzy: bool = True,
     fuzzy_broadcast_max_rows: int = 2_000_000,
+    mentions_out: dict | None = None,
 ) -> DataFrame:
+    """``mentions_out``: pass a dict to receive ``mentions_out["mentions"]``,
+    a FULL-schema mentions view bound to the fused join's localCheckpoint —
+    zero extra jobs, and consuming it cannot re-run detection (the checkpoint
+    already holds every mention row exactly once: the lexicon side of the
+    join is unique on term_norm, so the left join is row-preserving).  The
+    join checkpoint then carries the 4 extra mention columns (lang, start,
+    end, text — ~40 B/row); callers that don't need the view (the run_dir
+    pipeline path, whose mentions are already a durable checkpoint) keep the
+    slim 8-column base.
+    """
     # terms is consumed by ~6 broadcast builds below; collapse it to one
     # cached partition so each build is a single-task collect instead of a
     # full window-shuffle job (the lexicon is broadcast-sized by design)
     sc = mentions.sparkSession.sparkContext
     sc.setJobDescription("kgx stage2: lexicon term table")
     terms = _unique_terms(term_table(dict_df)).coalesce(1).localCheckpoint()
-    base = mentions.select(*_BASE_COLS)
+    base = mentions.select(*(_MENTION_COLS if mentions_out is not None else _BASE_COLS))
 
     # --- exact / synonym (one broadcast join serves both) ------------------
     # j has two consumers (the routing pass below and the fuzzy channel's
@@ -89,6 +106,8 @@ def link_entities(
         base.norm_text == F.col("term_norm"),
         "left",
     ).localCheckpoint()
+    if mentions_out is not None:
+        mentions_out["mentions"] = j.select(*_MENTION_COLS)
     # --- single routing pass over j (round-5 rework #2) --------------------
     # The method branches used to be materialized as a 4-way union, each
     # branch re-scanning j's checkpointed rows (exact, abbrev, systematic,

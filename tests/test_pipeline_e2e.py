@@ -84,6 +84,42 @@ def test_links_are_top1_per_mention(outputs):
     assert dup.count() == 0
 
 
+def test_mentions_handle_is_recompute_free(outputs):
+    """Round-6 rework: in no-run_dir mode the returned `mentions` handle is
+    rebound to stage 2's fused localCheckpoint — consuming it must NOT
+    re-run detection.  The physical plan proves it: a recompute-free view
+    scans the checkpointed RDD and contains no detect kernel (the only
+    MapInPandas in stage 1), no parquet scan, and no window."""
+    from kgx.schemas import MENTIONS
+
+    mentions = outputs["mentions"]
+    assert [f.name for f in mentions.schema.fields] == [f.name for f in MENTIONS.fields]
+    plan = mentions._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan
+    assert "FileScan" not in plan and "BatchScan" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_file_key_separator_guard(spark):
+    """file_key is row identity (the latest-version window dedups on it):
+    a repo/path containing the \\x1f 'unit separator' would alias two
+    distinct files to one key — such rows must fail loudly at scan time,
+    not silently drop a file (round-5 advice)."""
+    from kgx.io.source import with_file_identity
+
+    ok = spark.createDataFrame(
+        [("r1", "a.py", "c1", "text")], "repo string, path string, commit string, content string"
+    )
+    assert with_file_identity(ok).select("file_key").distinct().count() == 1
+
+    bad = spark.createDataFrame(
+        [("r1\x1fx", "a.py", "c1", "text")],
+        "repo string, path string, commit string, content string",
+    )
+    with pytest.raises(Exception, match="file identity violated"):
+        with_file_identity(bad).collect()
+
+
 def test_corpus_stage_failure_cancels_background_cc(spark, tiny_dir, monkeypatch):
     """If a corpus stage raises, the daemon CC thread must not keep running
     Spark jobs unobserved: run_pipeline cancels its job group and joins the

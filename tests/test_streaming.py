@@ -171,6 +171,189 @@ def test_streamed_dedup_counts_refuses_dirty_work_dir(spark, tmp_path):
         streamed_dedup_counts(spark, str(src), str(work))
 
 
+def test_extract_epoch_retry_is_idempotent(spark, tiny, tmp_path):
+    """Round-5 verdict #1: a RETRIED microbatch of the production
+    incremental-extract path (Structured Streaming replays the epoch when a
+    failure lands between sink write and checkpoint commit) must not leave
+    a duplicate row set — the epoch-partitioned dynamic overwrite replaces
+    exactly its own partition and leaves other epochs untouched."""
+    from kgx.streaming.incremental import extract_epoch
+
+    bc = spark.sparkContext.broadcast(detection_index(tiny["compound_dict"].toPandas()))
+    a, b = tiny["source_files"].randomSplit([0.5, 0.5], seed=7)
+    out_dir = str(tmp_path / "links")
+
+    extract_epoch(a.withColumn("ingest_ts", F.current_timestamp()), 0, tiny["compound_dict"], bc, out_dir)
+    first = spark.read.parquet(out_dir)
+    n0 = first.filter(F.col("epoch") == 0).count()
+    rows0 = sorted(map(tuple, first.filter(F.col("epoch") == 0).collect()))
+
+    # epoch 1 lands, then epoch 1 is RETRIED (same batch, same epoch_id)
+    batch1 = b.withColumn("ingest_ts", F.current_timestamp())
+    extract_epoch(batch1, 1, tiny["compound_dict"], bc, out_dir)
+    n1 = spark.read.parquet(out_dir).filter(F.col("epoch") == 1).count()
+    extract_epoch(batch1, 1, tiny["compound_dict"], bc, out_dir)
+
+    got = spark.read.parquet(out_dir)
+    assert got.filter(F.col("epoch") == 1).count() == n1  # not doubled
+    assert got.filter(F.col("epoch") == 0).count() == n0  # other epoch untouched
+    assert sorted(map(tuple, got.filter(F.col("epoch") == 0).collect())) == rows0
+    # per-mention uniqueness survives the retry (the batch-path invariant)
+    assert got.groupBy("mention_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_merge_epoch_state_crash_recovery(spark, tmp_path):
+    """Round-5 verdict #2: state commits are write-to-staging + atomic
+    rename.  A crash mid-write leaves only a ``_tmp_state_*`` dir — the
+    epoch listing must ignore it (previous state stays readable) and the
+    next merge must sweep it."""
+    import os
+
+    from kgx.streaming.incremental import _merge_epoch_state, _state_epochs
+
+    work = str(tmp_path / "w")
+    c1 = spark.createDataFrame([("a", 2)], "event_type string, n long")
+    _merge_epoch_state(work, c1, 0, "event_type")
+
+    # simulate a crash between parquet write and rename: a torn staging dir
+    torn = os.path.join(work, "_tmp_state_1_deadbeef")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "w") as f:
+        f.write("partial garbage")
+
+    # the torn attempt is invisible: committed epochs and the readable
+    # predecessor are unaffected
+    assert _state_epochs(work) == [0]
+    assert {r.event_type: r.n for r in spark.read.parquet(f"{work}/state_0").collect()} == {"a": 2}
+
+    # the replayed epoch sweeps the garbage and commits atomically
+    c2 = spark.createDataFrame([("a", 1)], "event_type string, n long")
+    _merge_epoch_state(work, c2, 1, "event_type")
+    assert not [d for d in os.listdir(work) if d.startswith("_tmp_state_")]
+    assert {r.event_type: r.n for r in spark.read.parquet(f"{work}/state_1").collect()} == {"a": 3}
+
+    # a completed-but-uncommitted-checkpoint attempt (final dir already
+    # exists) is replaced, not merged twice
+    _merge_epoch_state(work, c2, 1, "event_type")
+    assert {r.event_type: r.n for r in spark.read.parquet(f"{work}/state_1").collect()} == {"a": 3}
+
+
+def test_streamed_window_counts_timezone_independent(spark, tmp_path):
+    """Round-5 advice: F.window aligns to the UTC epoch while the DuckDB
+    oracle's date_trunc('day') is timezone-naive — the query must pin the
+    session timezone itself, because the driver hands it an arbitrary
+    session.  Run under a non-UTC session tz and compare against DuckDB."""
+    import datetime
+
+    import duckdb
+
+    from kgx.streaming.incremental import streamed_window_counts
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i % 3, (i * 7) % 24), ("a", "b")[i % 2])
+        for i in range(120)
+    ]
+    src = tmp_path / "events"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(src))
+    pq = [str(p) for p in src.iterdir() if p.suffix == ".parquet"]
+
+    want = {
+        (str(d), t): n
+        for d, t, n in duckdb.sql(
+            f"SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, COUNT(*) AS n "
+            f"FROM read_parquet({pq!r}) GROUP BY 1, 2"
+        ).fetchall()
+    }
+
+    tz_key = "spark.sql.session.timeZone"
+    tz_prev = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        got = streamed_window_counts(spark, str(src), str(tmp_path / "w"), window="1 day")
+        got_rows = {(r.day, r.event_type): r.n for r in got.collect()}
+        # the query restores the caller's session timezone after draining
+        assert spark.conf.get(tz_key) == "America/New_York"
+    finally:
+        spark.conf.set(tz_key, tz_prev)
+    assert got_rows == want
+
+
+def test_streamed_session_counts_matches_gaps_and_islands(spark, tmp_path):
+    """J4 driver oracle: session_window merged cross-microbatch must equal
+    batch gaps-and-islands sessionization (the stream_session_counts DuckDB
+    oracle).  The synthetic data plants the two boundary cases the oracle's
+    break condition must get right — a pair EXACTLY gap apart (must MERGE:
+    Spark merges overlapping-or-adjacent [ts, ts+gap) intervals) and a pair
+    one second past the gap (must BREAK) — plus multi-user interleaving, and
+    runs under a non-UTC session timezone to prove tz-independence."""
+    import datetime
+
+    import duckdb
+
+    from kgx.streaming.incremental import streamed_session_counts
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        # u1: exact-gap chain (0h, 4h, 8h) -> ONE session [0h, 12h)
+        (1, base, "a"),
+        (1, base + datetime.timedelta(hours=4), "a"),
+        (1, base + datetime.timedelta(hours=8), "a"),
+        # u1: strictly past the gap -> new session
+        (1, base + datetime.timedelta(hours=12, seconds=1), "a"),
+        # u2: tight burst + a far singleton
+        (2, base + datetime.timedelta(hours=1), "b"),
+        (2, base + datetime.timedelta(hours=2), "b"),
+        (2, base + datetime.timedelta(days=2), "b"),
+    ] + [
+        # bulk: 40 more events spread so sessions split across microbatches
+        (3 + i % 4, base + datetime.timedelta(hours=3 * i), "c")
+        for i in range(40)
+    ]
+    src = tmp_path / "events"
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(src))
+    pq = [str(p) for p in src.iterdir() if p.suffix == ".parquet"]
+
+    want = sorted(
+        duckdb.sql(
+            f"""
+            WITH brk AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS is_break
+                FROM read_parquet({pq!r})
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM brk
+            )
+            SELECT user_id, EPOCH_US(MIN(ts)) AS session_start_us,
+                   EPOCH_US(MAX(ts) + INTERVAL 4 HOUR) AS session_end_us,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
+            """
+        ).fetchall()
+    )
+
+    tz_key = "spark.sql.session.timeZone"
+    tz_prev = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        got = streamed_session_counts(spark, str(src), str(tmp_path / "w"), gap="4 hours")
+        got_rows = sorted(tuple(r) for r in got.collect())
+        assert spark.conf.get(tz_key) == "America/New_York"
+    finally:
+        spark.conf.set(tz_key, tz_prev)
+    assert got_rows == want
+    # the planted boundary pair merged: u1's first session covers 0h..8h+gap
+    u1 = [r for r in got_rows if r[0] == 1]
+    assert u1[0][3] == 3 and u1[1][3] == 1
+
+
 def test_merge_epoch_state_retry_is_idempotent(spark, tmp_path):
     """A retried microbatch (same epoch_id, possibly after a partial write)
     must merge against the same disk predecessor and overwrite its own
