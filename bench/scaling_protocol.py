@@ -59,9 +59,11 @@ def engine_fingerprint() -> dict:
     except (OSError, subprocess.CalledProcessError):
         return {"git_head": None, "engine_tree": None, "engine_dirty": True}
 
-CHILD = f"""
+# NOT an f-string: the child's own {…} must survive; REPO_ROOT is injected
+# via %r substitution below
+CHILD = """
 import json, sys, time
-sys.path.insert(0, {REPO_ROOT!r})
+sys.path.insert(0, %(repo_root)r)
 master, fixture_dir = sys.argv[1], sys.argv[2]
 from kgx.session import get_spark
 from kgx.pipeline import PipelineConfig, run_pipeline
@@ -75,7 +77,7 @@ t0 = time.monotonic()
 out = run_pipeline(spark, cfg)
 n = out["triples"].count()
 print(json.dumps({"wall_sec": round(time.monotonic() - t0, 2), "triples": n}))
-"""
+""" % {"repo_root": REPO_ROOT}
 
 W1 = "local-cluster[1,2,12288]"
 W4 = "local-cluster[4,2,12288]"
