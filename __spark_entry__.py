@@ -93,6 +93,10 @@ def _pipeline_outputs(spark: SparkSession, scale: str = "tiny") -> dict:
             source_uri=f"{d}/source_files.parquet",
             dict_uri=f"{d}/compound_dict.parquet",
             num_partitions=8,
+            # the mention-level driver queries consume out["mentions"];
+            # opt in so the handle is bound to the fused checkpoint
+            # (recompute-free) instead of omitted
+            materialize_mentions=True,
         )
         out = run_pipeline(spark, cfg)
         out["triples"] = out["triples"].localCheckpoint()

@@ -64,6 +64,7 @@ def main() -> int:
     cfg = PipelineConfig(
         source_uri=f"{fixture_dir}/source_files.parquet",
         dict_uri=f"{fixture_dir}/compound_dict.parquet",
+        materialize_mentions=True,
     )
     out = run_pipeline(spark, cfg)
     triples = out["triples"].select("subj", "pred", "obj").distinct().cache()

@@ -48,6 +48,17 @@ class PipelineConfig:
     fuzzy_broadcast_max_rows: int = 2_000_000
     table_format: str = "parquet"  # "iceberg" in production
     cc_hot_threshold: int = 50_000
+    # Without a run_dir, stage 1+2 fuse into one job and the mentions table
+    # is never independently materialized.  Callers that want the
+    # `mentions` output in that mode must opt in: the fused checkpoint then
+    # carries the 4 extra mention columns (lang/start/end/text, ~40 B/row)
+    # so the returned handle is recompute-free (kgx/stages/link.py
+    # mentions_out).  Default OFF keeps the hot path's checkpoint slim —
+    # and run_pipeline then OMITS "mentions" from its result dict entirely,
+    # so an unconfigured consumer fails loudly (KeyError) instead of
+    # silently paying detection twice.  With a run_dir, mentions is always
+    # a durable checkpoint and this flag is irrelevant.
+    materialize_mentions: bool = False
 
 
 def build_edges(dict_df: DataFrame) -> DataFrame:
@@ -202,10 +213,11 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
             # mentions localCheckpoint wrote all ~N wide mention rows only
             # for the join job to read them straight back).  Detection still
             # executes exactly once: every downstream branch reads the join's
-            # checkpoint — INCLUDING the returned `mentions` handle, which
-            # (round-6 rework) link_entities rebinds to a full-schema view
-            # over its fused checkpoint via `mentions_out`, so a caller
-            # consuming result["mentions"] can no longer silently pay
+            # checkpoint.  The returned `mentions` handle in this mode is
+            # governed by cfg.materialize_mentions (round-6 rework): opted
+            # in, link_entities rebinds it to a full-schema view over its
+            # fused checkpoint via `mentions_out`; opted out (default), the
+            # result dict omits "mentions" so nothing can silently pay
             # detection a second time.
             mentions = detect_mentions(files, index_bc)
             if cfg.run_dir is not None:
@@ -219,10 +231,13 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
         if resumed("links"):
             links = committed_output(spark, cfg, "links")
         else:
-            # no run_dir → the mentions handle above is lazy; ask stage 2 to
-            # rebind it to its fused checkpoint (recompute-free, zero extra
-            # jobs — see link_entities' mentions_out contract)
-            mentions_box: dict | None = None if cfg.run_dir is not None else {}
+            # no run_dir → the mentions handle above is lazy; if the caller
+            # opted in, ask stage 2 to rebind it to its fused checkpoint
+            # (recompute-free, zero extra jobs — see link_entities'
+            # mentions_out contract)
+            mentions_box: dict | None = (
+                {} if cfg.run_dir is None and cfg.materialize_mentions else None
+            )
             links = link_entities(
                 mentions,
                 dict_df,
@@ -268,10 +283,16 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
     if cfg.out_uri is not None:
         write_triples(triples, cfg.out_uri, fmt=cfg.table_format)
 
-    return {
+    out = {
         "mentions": mentions,
         "links": links,
         "components": components,
         "rep_map": rep_map,
         "triples": triples,
     }
+    if cfg.run_dir is None and not cfg.materialize_mentions:
+        # the only handle that would be lazy (= silent detect re-run on
+        # consumption); omit it so access fails loudly — opt in with
+        # cfg.materialize_mentions to get the recompute-free bound view
+        del out["mentions"]
+    return out

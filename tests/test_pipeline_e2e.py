@@ -16,6 +16,7 @@ def outputs(spark, tiny_dir):
         source_uri=f"{tiny_dir}/source_files.parquet",
         dict_uri=f"{tiny_dir}/compound_dict.parquet",
         num_partitions=8,
+        materialize_mentions=True,
     )
     return run_pipeline(spark, cfg)
 
@@ -85,11 +86,12 @@ def test_links_are_top1_per_mention(outputs):
 
 
 def test_mentions_handle_is_recompute_free(outputs):
-    """Round-6 rework: in no-run_dir mode the returned `mentions` handle is
-    rebound to stage 2's fused localCheckpoint — consuming it must NOT
-    re-run detection.  The physical plan proves it: a recompute-free view
-    scans the checkpointed RDD and contains no detect kernel (the only
-    MapInPandas in stage 1), no parquet scan, and no window."""
+    """Round-6 rework: with materialize_mentions=True in no-run_dir mode
+    the returned `mentions` handle is rebound to stage 2's fused
+    localCheckpoint — consuming it must NOT re-run detection.  The physical
+    plan proves it: a recompute-free view scans the checkpointed RDD and
+    contains no detect kernel (the only MapInPandas in stage 1), no parquet
+    scan, and no window."""
     from kgx.schemas import MENTIONS
 
     mentions = outputs["mentions"]
@@ -98,6 +100,21 @@ def test_mentions_handle_is_recompute_free(outputs):
     assert "MapInPandas" not in plan, plan
     assert "FileScan" not in plan and "BatchScan" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_mentions_handle_omitted_unless_requested(spark, tiny_dir):
+    """Default no-run_dir mode must OMIT "mentions" from the result dict —
+    a consumer that didn't opt in fails loudly (KeyError) instead of
+    silently paying detection a second time through a lazy handle, and the
+    fused checkpoint stays slim (no extra mention columns)."""
+    cfg = PipelineConfig(
+        source_uri=f"{tiny_dir}/source_files.parquet",
+        dict_uri=f"{tiny_dir}/compound_dict.parquet",
+        num_partitions=4,
+    )
+    out = run_pipeline(spark, cfg)
+    assert "mentions" not in out
+    assert {"links", "components", "rep_map", "triples"} <= set(out)
 
 
 def test_file_key_separator_guard(spark):
