@@ -130,6 +130,23 @@ def _pipeline_at(master: str, fixture_dir: str, with_pr: bool = False) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _warm_page_cache(sf_dir: str) -> None:
+    """Untimed read-through of the query inputs.  The relational timings are
+    meant to measure the ENGINE (fresh-JVM plan + execution), not whatever
+    the harness happened to run before bench.py: round 6 measured the same
+    first query at 30.5 s with sf0.1 evicted from the page cache (a prior
+    7.8 GB fixture generation) vs 5.5-7.9 s with it resident — a 5.5× swing
+    that is pure disk state.  Reading the files once beforehand pins the
+    series back to the warm-cache conditions rounds 1-5 effectively ran
+    under, without touching the timed fresh-JVM semantics."""
+    import glob
+
+    for f in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
 def _relational_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -173,9 +190,15 @@ def main() -> int:
         master=f"local[{CPUS}]",
         extra_conf={"spark.driver.memory": os.environ.get("KGX_QUERY_MEM", "24g")},
     )
+    _warm_page_cache(SF_DIR)
     t0 = time.monotonic()
     times = _relational_queries(spark, SF_DIR)
     report["relational_wall_sec"] = round(time.monotonic() - t0, 2)
+    # steady-state second pass (warm JVM/JIT), untimed-warmup-independent:
+    # the number a long-running cluster session would see per query
+    t0 = time.monotonic()
+    report["queries_steady"] = _relational_queries(spark, SF_DIR)
+    report["relational_steady_wall_sec"] = round(time.monotonic() - t0, 2)
     spark.stop()
 
     pipeline: dict = {"fixture_scale": BENCH_SCALE}
