@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
         num_partitions=args.partitions,
         enable_fuzzy=not args.no_fuzzy,
         table_format=args.fmt,
+        # without a run-dir the mentions handle is omitted by default
+        # (run_pipeline's fail-loud contract); this CLI reports a mentions
+        # count, so opt in to the recompute-free bound view in that mode
+        materialize_mentions=args.run_dir is None,
     )
 
     t0 = time.monotonic()

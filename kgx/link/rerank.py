@@ -1,22 +1,11 @@
-"""Exact-score rerank of LSH candidates inside pandas UDF batches
-(SURVEY §2 C3; BASELINE.json:L6 "exact-score rerank inside pandas UDF
-batches").
+"""Exact-score rerank of LSH candidates (SURVEY §2 C3; BASELINE.json:L6
+"exact-score rerank inside pandas UDF batches").
 
 Input: DISTINCT (surface, term) candidate pairs from the signature join —
 NOT mention-level rows.  Scoring cost is per distinct string pair, and the
 same corrupted surface recurs across thousands of mentions (hot compounds'
 misspellings dominate a zipf corpus), so deduplicating FIRST makes the
-Python volume a function of vocabulary, not corpus.  It also fixes a
-measured skew: bucketing mention-level pairs by mention hash landed the
-distinct-pair-dense (cache-miss) work in a few buckets — 0.8s median vs
-11s max per equal-row bucket on the 2.4M-file corpus — while pair-hash
-buckets over distinct pairs are uniform by construction (every row costs
-one levenshtein + one jaccard, no cache-hit lottery).
-
-Groups are formed by ``pmod(xxhash64(surface, term), n_buckets)``; the
-accepted output (surface → compound, score) is broadcast-joined back to
-mention rows by the caller (kgx.stages.link), so mentions never shuffle
-for fuzzy scoring at all.
+Python volume a function of vocabulary, not corpus.
 
 Score = 0.4 · exact mixed-shingle Jaccard + 0.6 · (1 − levenshtein/maxlen),
 gated by lev ≤ 2 (edit-distance envelope of the lexicon's deliberate
@@ -24,6 +13,20 @@ misspellings) and a floor; the lev term dominates because one edit on a
 short name legitimately halves its shingle Jaccard.  Surviving pairs keep
 score scaled into the fuzzy method's band (< every deterministic method's
 score).
+
+Round-7 rework (guide §4.1/§2.4): the scorer is a VECTORIZED pandas UDF
+*projection* — one ``ArrowEvalPython`` over the vocabulary-sized pair rows
+in place of the former ``repartition(2×parallelism) →
+groupBy(__bucket).applyInPandas`` path, which paid a full exchange, a
+per-bucket pandas sort/dedup, and grouped-map overhead for the same
+per-pair Python work.  Scores are computed by the identical
+:func:`_pair_score` function, so they are bit-identical by construction.
+(A pure-JVM scorer via array higher-order functions was tried first and
+rejected: HOF expression trees fall out of whole-stage codegen and run
+interpreted — the same failure mode kgx.link.minhash documents for a JVM
+minhash — and Catalyst additionally pushed the deterministic score filter
+into the signature join's bound condition, evaluating the scorer per raw
+band collision.  A Python UDF is opaque to both.)
 """
 
 from __future__ import annotations
@@ -55,55 +58,46 @@ def _pair_score(a: str, b: str) -> tuple[int, float]:
     return lev, score
 
 
-def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    cols = ["norm_text", "compound_id", "score", "method"]
-    if pdf.empty:
-        return pdf.iloc[0:0].assign(score=0.0, method="")[cols]
-    levs, scores = [], []
-    for a, b in zip(pdf["norm_text"], pdf["term_norm"]):
-        lev, score = _pair_score(a, b)
+from pyspark.sql import types as T
+
+_PS_TYPE = T.StructType(
+    [T.StructField("lev", T.IntegerType()), T.StructField("score", T.DoubleType())]
+)
+
+
+@F.pandas_udf(_PS_TYPE)
+def _pair_score_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """Arrow-batched twin of :func:`_pair_score` (same function per pair —
+    bit-identical scores)."""
+    levs: list[int] = []
+    scores: list[float] = []
+    for x, y in zip(a, b):
+        lev, score = _pair_score(x, y)
         levs.append(lev)
         scores.append(score)
-    out = pdf.assign(__lev=levs, score=scores, method="fuzzy")
-    out = out[(out["__lev"] <= MAX_LEV) & (out["score"] >= FUZZY_SCALE * MIN_SCORE)]
-    # one row per (surface, compound): several terms of one compound may
-    # match the surface — keep the best score (deterministic max)
-    out = out.sort_values(["norm_text", "compound_id", "score"]).drop_duplicates(
-        ["norm_text", "compound_id"], keep="last"
-    )
-    return out[cols]
+    return pd.DataFrame({"lev": pd.array(levs, dtype="int32"), "score": scores})
 
 
 def rerank(pairs: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """pairs: DISTINCT (norm_text, term_norm, compound_id) candidate rows
-    -> accepted (norm_text, compound_id, score, method='fuzzy').
+    -> accepted (norm_text, compound_id, score, method='fuzzy'), one row
+    per (surface, compound) keeping the max score over that compound's
+    matching terms (several terms of one compound may match one surface).
 
-    n_buckets defaults to 2× the session's shuffle parallelism — enough
-    groups to spread the Python scoring, coarse enough that groups aren't
-    per-pair.
+    One Arrow projection + one vocabulary-sized groupBy — no repartition
+    exchange, no grouped-map.  ``n_buckets`` is kept for call compatibility
+    with the former applyInPandas implementation and is unused (the scoring
+    spreads over whatever partitioning ``pairs`` already has).
     """
-    if n_buckets is None:
-        n_buckets = 2 * int(
-            pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    bucketed = pairs.withColumn(
-        "__bucket", F.pmod(F.xxhash64("norm_text", "term_norm"), F.lit(n_buckets))
-    )
-    # explicit numbered repartition: AQE's byte-based coalescing would fuse
-    # this shuffle down to a handful of partitions (the rows are narrow) and
-    # serialize the Python scoring — partition count must reflect CPU cost,
-    # not bytes.  groupBy on the same key then reuses this exchange.
-    bucketed = bucketed.repartition(n_buckets, "__bucket")
-    scored = bucketed.groupBy("__bucket").applyInPandas(
-        lambda pdf: _score_group(pdf), PAIR_SCORE_SCHEMA
-    )
-    # _score_group dedups (surface, compound) only WITHIN its bucket; two
-    # terms of one compound matching the same surface can hash to different
-    # buckets, so enforce the documented "one row per (surface, compound)"
-    # contract globally.  Accepted rows are vocabulary-sized, so this final
-    # max-score reduction is a tiny shuffle.
+    del n_buckets  # no bucketed Python grouping pass to spread anymore
+    ps = _pair_score_udf(F.col("norm_text"), F.col("term_norm"))
     return (
-        scored.groupBy("norm_text", "compound_id")
-        .agg(F.max("score").alias("score"))
+        pairs.withColumn("__ps", ps)
+        .filter(
+            (F.col("__ps.lev") <= MAX_LEV)
+            & (F.col("__ps.score") >= FUZZY_SCALE * MIN_SCORE)
+        )
+        .groupBy("norm_text", "compound_id")
+        .agg(F.max("__ps.score").alias("score"))
         .withColumn("method", F.lit("fuzzy"))
     )

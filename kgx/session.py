@@ -76,8 +76,12 @@ def get_spark(
         )
         # throughput collector: G1's pause-time targeting churns on this
         # allocation-heavy batch workload (1324s GC vs ~400s Parallel at 32
-        # threads on the 2.4M-file corpus)
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # threads on the 2.4M-file corpus).  KGX_DRIVER_JAVA_OPTS appends
+        # further flags (GC sizing experiments; see OPTIMIZATION_r07.md).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("KGX_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
     )
     if single_host:
         b = b.config("spark.locality.wait", "0s")

@@ -132,34 +132,77 @@ class _TokenMemo(dict):
         return v
 
 
-_MEMO_CACHE: dict[int, tuple[dict, "_TokenMemo"]] = {}
+class _FlagMemo(dict):
+    """Per-worker raw-token -> interesting? (1/0) cache.  The scan for
+    interesting positions runs entirely in C (``bytes(map(...))`` +
+    ``bytes.find``); the full ACTION tuple is fetched from the companion
+    :class:`_TokenMemo` only at the few-percent of positions that matter.
+    Flags are a pure function of the token (same classify), so the two
+    memos may clear independently without divergence."""
+
+    __slots__ = ("amemo",)
+    _MAX = 200_000
+
+    def __init__(self, amemo: "_TokenMemo"):
+        super().__init__()
+        self.amemo = amemo
+
+    def __missing__(self, raw: str):
+        v = 1 if self.amemo[raw] is not None else 0
+        if len(self) >= self._MAX:
+            self.clear()
+        self[raw] = v
+        return v
 
 
-def _memo_for(index: dict[str, str]) -> "_TokenMemo":
+_MEMO_CACHE: dict[int, tuple[dict, "_TokenMemo", "_FlagMemo"]] = {}
+
+
+def _memo_for(index: dict[str, str]) -> tuple["_TokenMemo", "_FlagMemo"]:
     cached = _MEMO_CACHE.get(id(index))
     if cached is not None and cached[0] is index:
-        return cached[1]
+        return cached[1], cached[2]
     memo = _TokenMemo(index, _multi_first(index))
-    _MEMO_CACHE[id(index)] = (index, memo)
-    return memo
+    fmemo = _FlagMemo(memo)
+    _MEMO_CACHE[id(index)] = (index, memo, fmemo)
+    return memo, fmemo
 
 
 def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
-    """Pure-python kernel over one document; unit-testable without Spark.
+    """Dict-row view of :func:`_detect_rows` (unit-test / oracle surface)."""
+    return [
+        {
+            "start": s,
+            "end": e,
+            "text": t,
+            "norm_text": nrm,
+            "mtype": mt,
+            "defined_as": df,
+        }
+        for (s, e, t, nrm, mt, df) in _detect_rows(text, index)
+    ]
 
-    Hot-loop layout (round-5 rework, byte-identical output pinned by the
-    golden/property tests and the 50-query oracle):
+
+def _detect_rows(text: str, index: dict[str, str]) -> list[tuple]:
+    """Pure-python kernel over one document; unit-testable without Spark.
+    Returns ``(start, end, text, norm_text, mtype, defined_as)`` tuples.
+
+    Hot-loop layout (round-5 rework + round-7 flag scan, byte-identical
+    output pinned by the golden/property tests and the 50-query oracle):
 
     * ONE capturing-regex split per document (C) yields gaps and tokens
       interleaved; token offsets are C-level length prefix sums — no match
       objects, no per-token ``.span()``/slicing;
-    * every raw token resolves to a memoized ACTION via ``map(dict.
-      __getitem__, raws)`` — classification (lexicon membership, abbrev/
+    * every raw token resolves to a memoized 0/1 FLAG via ``bytes(map(
+      dict.__getitem__, raws))`` and interesting positions come from
+      C-level ``bytes.find`` — classification (lexicon membership, abbrev/
       formula/CAS shape, systematic gate) runs once per DISTINCT token per
-      worker, not once per occurrence;
+      worker, and the per-occurrence cost of an inert token is one C dict
+      lookup, with no Python-level scan and no action-list allocation;
     * the stateful positional loop (greedy multi-token lexicon match,
       "acid" continuation, abbrev context) visits only the interesting
-      positions — a few percent of tokens on a code corpus.
+      positions — a few percent of tokens on a code corpus — fetching the
+      full action tuple from the companion memo only there.
 
     Tokens from TOKEN_RE can't start/end with ``,-'`` nor contain separator
     runs, so ``norm_term(tok) == tok.lower()`` — property-tested in
@@ -170,9 +213,14 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
     n = len(raws)
     if not n:
         return []
-    memo = _memo_for(index)
-    acts = list(map(memo.__getitem__, raws))
-    work = [i for i, a in enumerate(acts) if a is not None]
+    memo, fmemo = _memo_for(index)
+    flags = bytes(map(fmemo.__getitem__, raws))
+    work = []
+    _find = flags.find
+    pos = _find(1)
+    while pos != -1:
+        work.append(pos)
+        pos = _find(1, pos + 1)
     if not work:
         return []
 
@@ -191,7 +239,7 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
         g = parts[2 * j + 2]
         return g != "" and not g.strip(" \t")
 
-    out: list[dict] = []
+    out: list[tuple] = []
     dict_spans: list[tuple[int, int, str]] = []  # (start, end, norm) of lexicon hits
     abbrev_toks: list[int] = []
     index_get = index.get
@@ -200,7 +248,7 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
     for i in work:
         if i < consumed:
             continue
-        a = acts[i]
+        a = memo[raws[i]]
         tag = a[0]
         if tag == "M":
             # greedy leftmost-longest lexicon match; k>1 only where a
@@ -219,16 +267,7 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
                     mtype = a[2]
                 if mtype is not None:
                     s, e = starts[i], ends[i + k - 1]
-                    out.append(
-                        {
-                            "start": s,
-                            "end": e,
-                            "text": text[s:e],
-                            "norm_text": cand,
-                            "mtype": mtype,
-                            "defined_as": None,
-                        }
-                    )
+                    out.append((s, e, text[s:e], cand, mtype, None))
                     dict_spans.append((s, e, cand))
                     consumed = i + k
                     matched = True
@@ -241,16 +280,7 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
             tag = a[0]
         if tag == "H":
             s, e = starts[i], ends[i]
-            out.append(
-                {
-                    "start": s,
-                    "end": e,
-                    "text": raws[i],
-                    "norm_text": a[1],
-                    "mtype": a[2],
-                    "defined_as": None,
-                }
-            )
+            out.append((s, e, raws[i], a[1], a[2], None))
             dict_spans.append((s, e, a[1]))
             consumed = i + 1
         elif tag == "A":
@@ -259,30 +289,12 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
             abbrev_toks.append(i)
             consumed = i + 1
         elif tag == "F":
-            out.append(
-                {
-                    "start": starts[i],
-                    "end": ends[i],
-                    "text": raws[i],
-                    "norm_text": a[1],
-                    "mtype": "FORMULA",
-                    "defined_as": None,
-                }
-            )
+            out.append((starts[i], ends[i], raws[i], a[1], "FORMULA", None))
             consumed = i + 1
         elif tag == "C":
             # CAS registry number (ChemSpot IDENTIFIER); linked exactly
             # via the lexicon index when known, else an unlinked span
-            out.append(
-                {
-                    "start": starts[i],
-                    "end": ends[i],
-                    "text": raws[i],
-                    "norm_text": a[1],
-                    "mtype": "IDENTIFIER",
-                    "defined_as": None,
-                }
-            )
+            out.append((starts[i], ends[i], raws[i], a[1], "IDENTIFIER", None))
             consumed = i + 1
         else:  # "S"
             # "-oic acid" continuation: a systematic-looking token followed
@@ -297,16 +309,7 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
                 e = ends[i]
                 nrm = low
                 consumed = i + 1
-            out.append(
-                {
-                    "start": s,
-                    "end": e,
-                    "text": text[s:e],
-                    "norm_text": nrm,
-                    "mtype": "SYSTEMATIC",
-                    "defined_as": None,
-                }
-            )
+            out.append((s, e, text[s:e], nrm, "SYSTEMATIC", None))
 
     # pass 2: abbreviation definitions — "<lexicon mention> (ABBR)"
     end_to_norm = {e: nrm for (_s, e, nrm) in dict_spans}
@@ -333,29 +336,11 @@ def detect_in_text(text: str, index: dict[str, str]) -> list[dict]:
         raw = raws[ti]
         long_norm = defs.get(raw)
         if long_norm is not None:
-            out.append(
-                {
-                    "start": s,
-                    "end": e,
-                    "text": raw,
-                    "norm_text": raw.lower(),
-                    "mtype": "ABBREVIATION",
-                    "defined_as": long_norm,
-                }
-            )
+            out.append((s, e, raw, raw.lower(), "ABBREVIATION", long_norm))
         elif cl.is_systematic_like(raw.lower()):
-            out.append(
-                {
-                    "start": s,
-                    "end": e,
-                    "text": raw,
-                    "norm_text": raw.lower(),
-                    "mtype": "SYSTEMATIC",
-                    "defined_as": None,
-                }
-            )
+            out.append((s, e, raw, raw.lower(), "SYSTEMATIC", None))
 
-    out.sort(key=lambda m: (m["start"], m["end"]))
+    out.sort(key=lambda m: (m[0], m[1]))
     return out
 
 
@@ -374,15 +359,17 @@ def detect_mentions(files: DataFrame, index_bc) -> DataFrame:
         index = index_bc.value  # one lookup per python worker process
         fields = ["start", "end", "text", "norm_text", "mtype", "defined_as"]
         for pdf in batches:
-            # meta columns replicate per mention via one C-level np.repeat
-            # instead of an 11-key dict per mention (round-5 rework;
-            # measured ~15% of the old kernel wall was row assembly)
-            per_doc = [detect_in_text(c or "", index) for c in pdf["content"].values]
+            # meta columns replicate per mention via one C-level np.repeat;
+            # mention rows are TUPLES transposed to columns with one C-level
+            # zip (round-7 rework; the old dict-per-mention assembly paid a
+            # dict build + 6 hash lookups per mention)
+            per_doc = [_detect_rows(c or "", index) for c in pdf["content"].values]
             counts = [len(ms) for ms in per_doc]
             flat = [m for ms in per_doc for m in ms]
             data = {c: np.repeat(pdf[c].values, counts) for c in meta_cols}
-            for f in fields:
-                data[f] = [m[f] for m in flat]
+            cols = zip(*flat) if flat else ([],) * len(fields)
+            for f, col in zip(fields, cols):
+                data[f] = list(col)
             yield pd.DataFrame(data, columns=meta_cols + fields)
 
     mentions = files.select(*meta_cols, "content").mapInPandas(kernel, DETECT_SCHEMA)

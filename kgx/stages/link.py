@@ -101,11 +101,19 @@ def link_entities(
     # into one job and the corpus is materialized exactly once instead of
     # twice (kgx/pipeline.py round-5 note).
     sc.setJobDescription("kgx stage2: exact/synonym broadcast join")
-    j = base.join(
-        F.broadcast(terms.select("term_norm", "compound_id", "kind")),
-        base.norm_text == F.col("term_norm"),
-        "left",
-    ).localCheckpoint()
+    # drop the join key's lookup-side twin before checkpointing: term_norm
+    # equals norm_text on every hit (and is null on misses), so carrying it
+    # through the corpus-sized checkpoint is ~1 string per row of pure
+    # redundancy (round-7 slimming; nothing downstream reads it)
+    j = (
+        base.join(
+            F.broadcast(terms.select("term_norm", "compound_id", "kind")),
+            base.norm_text == F.col("term_norm"),
+            "left",
+        )
+        .drop("term_norm")
+        .localCheckpoint()
+    )
     if mentions_out is not None:
         mentions_out["mentions"] = j.select(*_MENTION_COLS)
     # --- single routing pass over j (round-5 rework #2) --------------------
@@ -182,9 +190,19 @@ def link_entities(
             )
 
         # names only: formulas and CAS numbers must never fuzzy-match (one
-        # digit of edit distance changes the identity)
-        fuzzy_terms = terms.filter(~F.col("kind").isin("formula", "identifier")).select(
-            "term_norm", "compound_id"
+        # digit of edit distance changes the identity).  `terms` sits in a
+        # single coalesced partition (right for its five tiny broadcast
+        # builds) — but the term-side SIGNATURE table fans out to ~40 rows
+        # per term through a Python-UDF minhash + explode, and building
+        # that inside the broadcast job single-threaded measured 16-30 s of
+        # serial critical path (round-7 event logs, stage s25).  Repartition
+        # the vocabulary first so the signature fan-out parallelizes; the
+        # broadcast then collects from those tasks.  Signatures are
+        # deterministic per row, so partitioning cannot change the result.
+        fuzzy_terms = (
+            terms.filter(~F.col("kind").isin("formula", "identifier"))
+            .select("term_norm", "compound_id")
+            .repartition(16)
         )
         surfaces = routed.filter(is_fuzzy_eligible).select("norm_text").distinct()
         ms = with_sigs(surfaces, "norm_text")
