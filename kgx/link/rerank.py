@@ -78,6 +78,15 @@ def _pair_score_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"lev": pd.array(levs, dtype="int32"), "score": scores})
 
 
+# The function is pure, but marking it non-deterministic stops the
+# optimizer from duplicating the evaluation (guide §4.4): with the default
+# marking, the filter below references the UDF column and Catalyst plans
+# TWO ArrowEvalPython nodes — one under the pushed filter, one in the
+# surviving projection — so every pair pays the scorer twice (observed in
+# plans/r07/rerank_scored_after.txt's first capture).
+_pair_score_udf = _pair_score_udf.asNondeterministic()
+
+
 def rerank(pairs: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """pairs: DISTINCT (norm_text, term_norm, compound_id) candidate rows
     -> accepted (norm_text, compound_id, score, method='fuzzy'), one row
@@ -92,12 +101,13 @@ def rerank(pairs: DataFrame, n_buckets: int | None = None) -> DataFrame:
     del n_buckets  # no bucketed Python grouping pass to spread anymore
     ps = _pair_score_udf(F.col("norm_text"), F.col("term_norm"))
     return (
-        pairs.withColumn("__ps", ps)
+        pairs.select("norm_text", "compound_id", ps.alias("__ps"))
         .filter(
             (F.col("__ps.lev") <= MAX_LEV)
             & (F.col("__ps.score") >= FUZZY_SCALE * MIN_SCORE)
         )
+        .select("norm_text", "compound_id", F.col("__ps.score").alias("score"))
         .groupBy("norm_text", "compound_id")
-        .agg(F.max("__ps.score").alias("score"))
+        .agg(F.max("score").alias("score"))
         .withColumn("method", F.lit("fuzzy"))
     )
