@@ -2,7 +2,7 @@
 
 The ChemSpot analogue [PK: molminer/ChemSpot.py; BASELINE.json:L6 stage (1)
 "vectorized mention detection emitting candidate chemical-entity spans per
-file"], re-expressed as an Arrow-batched ``mapInPandas`` kernel:
+file"], re-expressed as an Arrow-batched ``mapInArrow`` kernel:
 
 * greedy leftmost-longest dictionary n-gram matching over chem-tokens
   (the dictionary membership index arrives as a SparkContext broadcast —
@@ -26,11 +26,9 @@ construction — SURVEY §2 B1).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 from itertools import accumulate, chain
 from operator import add
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -353,26 +351,42 @@ def detect_mentions(files: DataFrame, index_bc) -> DataFrame:
 
     meta_cols = ["file_key", "repo", "path", "commit", "lang"]
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        # mapInArrow, not mapInPandas (round-7 rework, guide §4.2): only
+        # ``content`` is materialized as Python strings (the kernel needs
+        # them for the C regex); the 5 meta columns replicate per mention
+        # via Arrow ``take`` on the original batch — no pandas frame on
+        # either side and no Python-object round trip for ~5 meta strings
+        # × corpus rows.  Mention rows are tuples transposed to Arrow
+        # arrays with one C-level zip.
         import numpy as np
+        import pyarrow as pa
 
         index = index_bc.value  # one lookup per python worker process
-        fields = ["start", "end", "text", "norm_text", "mtype", "defined_as"]
-        for pdf in batches:
-            # meta columns replicate per mention via one C-level np.repeat;
-            # mention rows are TUPLES transposed to columns with one C-level
-            # zip (round-7 rework; the old dict-per-mention assembly paid a
-            # dict build + 6 hash lookups per mention)
-            per_doc = [_detect_rows(c or "", index) for c in pdf["content"].values]
-            counts = [len(ms) for ms in per_doc]
+        out_fields = [
+            ("start", pa.int32()),
+            ("end", pa.int32()),
+            ("text", pa.string()),
+            ("norm_text", pa.string()),
+            ("mtype", pa.string()),
+            ("defined_as", pa.string()),
+        ]
+        for batch in batches:
+            contents = batch.column(batch.schema.get_field_index("content")).to_pylist()
+            per_doc = [_detect_rows(c or "", index) for c in contents]
+            counts = np.fromiter(map(len, per_doc), np.int64, count=len(per_doc))
             flat = [m for ms in per_doc for m in ms]
-            data = {c: np.repeat(pdf[c].values, counts) for c in meta_cols}
-            cols = zip(*flat) if flat else ([],) * len(fields)
-            for f, col in zip(fields, cols):
-                data[f] = list(col)
-            yield pd.DataFrame(data, columns=meta_cols + fields)
+            idx = pa.array(np.repeat(np.arange(len(per_doc)), counts), pa.int64())
+            meta = batch.select(meta_cols).take(idx)
+            cols = zip(*flat) if flat else ((),) * len(out_fields)
+            arrays = list(meta.columns) + [
+                pa.array(vals, typ) for vals, (_n, typ) in zip(cols, out_fields)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=meta_cols + [n for n, _t in out_fields]
+            )
 
-    mentions = files.select(*meta_cols, "content").mapInPandas(kernel, DETECT_SCHEMA)
+    mentions = files.select(*meta_cols, "content").mapInArrow(kernel, DETECT_SCHEMA)
     # deterministic mention identity: hash of (file_key, span) — JVM-side
     return mentions.withColumn(
         "mention_id", F.xxhash64("file_key", "start", "end")
