@@ -101,12 +101,24 @@ def incremental_extract(
 
 
 def dedup_late_files(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """J2: drop late duplicate (file_key, commit) arrivals within the
-    watermark horizon."""
+    """J2: drop duplicate (file_key, commit) arrivals that land within the
+    watermark horizon of each other; state for keys older than the horizon
+    is EVICTED (bounded state — a duplicate arriving after eviction
+    re-emits, the documented trade of every watermarked dedup).
+
+    ``dropDuplicatesWithinWatermark``, not classic ``dropDuplicates``
+    (round-7): without the event-time column in the dedup keys the classic
+    operator never evicts — measured numRowsRemoved=0 with monotonically
+    growing state across watermark advances — so its state was
+    corpus-unbounded and the watermark decorative.  Eviction + late-row
+    semantics are pinned by test_watermark_eviction_* in
+    tests/test_streaming.py."""
     from kgx.io.source import with_file_identity
 
     keyed = with_file_identity(stream)
-    return keyed.withWatermark("ingest_ts", watermark).dropDuplicates(["file_key", "commit"])
+    return keyed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["file_key", "commit"]
+    )
 
 
 def windowed_ingest_metrics(
@@ -197,7 +209,17 @@ def streamed_dedup_counts(
         # may carry TIMESTAMP_NTZ
         .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates([key_col])
+        # dropDuplicatesWithinWatermark, NOT classic dropDuplicates
+        # (round-7): with the event-time column absent from the dedup keys,
+        # classic dropDuplicates NEVER evicts its state — measured on this
+        # tree: numRowsRemoved stayed 0 and numRowsTotal grew monotonically
+        # across watermark advances, i.e. the withWatermark was decorative
+        # and state was corpus-unbounded (a 100-TB scale-killer, guide §5).
+        # The WithinWatermark variant evicts keys older than the horizon
+        # while guaranteeing dedup for duplicates that arrive within it —
+        # identical output whenever duplicate spacing < horizon, which the
+        # fixture's 10-year default makes exact (oracle-verified).
+        .dropDuplicatesWithinWatermark([key_col])
     )
 
     def upsert(mb: DataFrame, epoch_id: int) -> None:

@@ -52,3 +52,44 @@ def test_true_iceberg_roundtrip(spark, tmp_path):
     write_table(df, "local.db.kgx_contract_pin", fmt="iceberg", partition_by=["p"])
     back = read_table(spark, "local.db.kgx_contract_pin", fmt="iceberg")
     assert back.count() == 10
+
+
+def test_format_selection_is_availability_gated(spark, monkeypatch):
+    """Mock-level pin of the prod switch (r6 verdict ask #5): with the jar
+    'present' the iceberg reader/writer is selected; without it the parquet
+    realization is, for the SAME fmt='iceberg' request.  Keeps the branch
+    honest without a runtime jar (the real-jar roundtrip stays skip-marked
+    above)."""
+    from unittest import mock
+
+    import kgx.io.tableformat as tf
+
+    # read side, jar "present"
+    fake_spark = mock.MagicMock()
+    monkeypatch.setattr(tf, "_iceberg_available", lambda s: True)
+    tf.read_table(fake_spark, "db.tbl", fmt="iceberg")
+    fake_spark.read.format.assert_called_once_with("iceberg")
+    fake_spark.read.format.return_value.load.assert_called_once_with("db.tbl")
+    fake_spark.read.parquet.assert_not_called()
+
+    # read side, jar absent -> parquet fallback
+    fake_spark2 = mock.MagicMock()
+    monkeypatch.setattr(tf, "_iceberg_available", lambda s: False)
+    tf.read_table(fake_spark2, "/p", fmt="iceberg")
+    fake_spark2.read.parquet.assert_called_once_with("/p")
+    fake_spark2.read.format.assert_not_called()
+
+    # write side, jar "present" -> writeTo(...).partitionedBy(...).createOrReplace()
+    fake_df = mock.MagicMock()
+    monkeypatch.setattr(tf, "_iceberg_available", lambda s: True)
+    tf.write_table(fake_df, "db.tbl", fmt="iceberg", partition_by=["pred"])
+    fake_df.writeTo.assert_called_once_with("db.tbl")
+    fake_df.writeTo.return_value.partitionedBy.return_value.createOrReplace.assert_called_once()
+    fake_df.write.mode.assert_not_called()
+
+    # write side, jar absent -> partitioned parquet
+    fake_df2 = mock.MagicMock()
+    monkeypatch.setattr(tf, "_iceberg_available", lambda s: False)
+    tf.write_table(fake_df2, "/p", fmt="iceberg", partition_by=["pred"])
+    fake_df2.write.mode.assert_called_once_with("overwrite")
+    fake_df2.writeTo.assert_not_called()
