@@ -252,7 +252,13 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
             if cfg.run_dir is None:
                 # stage 4 fans out into several triple projections over
                 # links; materialize once so each branch reads memory, not
-                # the cascade
+                # the cascade.  Deliberately NOT coalesced to the core
+                # count: a width-adaptive coalesce was tried (round 7) to
+                # cut the 64-task launch overhead on narrow clusters, and
+                # the resulting ~3M-row partitions OOMed the 12g executors
+                # in the stage-4 partial dedup — guide §5's "more
+                # partitions = smaller per-task state" wins over §2.2's
+                # task-launch arithmetic here.
                 links = links.localCheckpoint()
     except BaseException as e:
         _cancel_cc(e)

@@ -202,7 +202,9 @@ def link_entities(
         fuzzy_terms = (
             terms.filter(~F.col("kind").isin("formula", "identifier"))
             .select("term_norm", "compound_id")
-            .repartition(16)
+            .repartition(
+                max(2, min(16, sc.defaultParallelism))
+            )  # width-adaptive: one task wave on narrow clusters
         )
         surfaces = routed.filter(is_fuzzy_eligible).select("norm_text").distinct()
         ms = with_sigs(surfaces, "norm_text")
