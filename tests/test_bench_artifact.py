@@ -173,14 +173,24 @@ def test_committed_records_parse_and_stamped_ones_pass_gate():
         check=True,
     ).stdout.strip()
     current = 0
+    current_reps: list[float] = []
     for p in paths:
         with open(p) as f:
             rec = json.load(f)
         per_rep = rec["eff_exec_1_to_4"]["per_rep"]
         assert len(per_rep) >= 1
-        assert statistics.median(per_rep) >= 0.8, p
+        assert all(0.0 < e <= 1.25 for e in per_rep), p  # sane, parseable
         if rec.get("engine_tree") == head_tree and not rec.get("engine_dirty"):
             current += 1
+            current_reps.extend(per_rep)
+    # The ≥0.8 gate applies to what the bench will actually POOL: the
+    # same-tree rep sample (matching this test's docstring — round 7
+    # relaxed the original every-record assertion, which would have
+    # forbidden committing honest sub-gate measurements of superseded
+    # trees; see OPTIMIZATION_r07.md "scaling gate" for the Amdahl
+    # accounting of why a faster engine lowers the fixed-corpus ratio).
+    if current_reps:
+        assert statistics.median(current_reps) >= 0.8, current_reps
     # history may hold stale-engine records (excluded from pooling, by
     # design); the pool itself must never be starved to in-run reps only —
     # at least one committed record must measure the shipped engine.
