@@ -220,13 +220,25 @@ def main() -> int:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    # per-side row-conservation guard (r6 advice): if attribute() ever
+    # duplicated rows (a future cause table losing key uniqueness), a
+    # negative (orig - attributed) delta would silently OFFSET genuinely
+    # unexplained rows and defeat the honest-failure channel — fail loud
+    # instead.
+    fp_delta = fp.count() - fp_attr.count()
+    fn_delta = fn.count() - fn_attr.count()
+    if fp_delta < 0 or fn_delta < 0:
+        raise AssertionError(
+            f"attribution duplicated rows (fp delta {fp_delta}, fn delta "
+            f"{fn_delta}): a cause table lost key uniqueness"
+        )
     unexplained = (
         sum(v for k, v in fp_tab.items() if k.endswith("unexplained"))
         + sum(v for k, v in fn_tab.items() if k.endswith("unexplained"))
         + link_fp
         + link_fn
-        + (fp.count() - fp_attr.count())
-        + (fn.count() - fn_attr.count())
+        + fp_delta
+        + fn_delta
     )
     if unexplained:
         print("UNEXPLAINED FP rows:")
